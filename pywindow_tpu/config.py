@@ -1,0 +1,87 @@
+"""Static configuration for the analysis kernels.
+
+The reference scatters tuning knobs across function kwargs
+(reference: src/pywindow/_internal/utilities.py — ``adjust``, ``increment``,
+``tol``, ``lb_z``, ``z_second_mini`` …).  Here they are centralised in one
+frozen dataclass whose fields are *static* under ``jax.jit``: a config value
+change retraces, which is exactly the semantics these parameters need.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+
+def default_dtype() -> np.dtype:
+    """Pick the compute dtype for geometry kernels.
+
+    float64 when running on CPU with x64 enabled (golden-value parity and
+    cross-checks against the reference), float32 otherwise (TPU-native
+    mode — validated to <0.01 Å against the same goldens).
+    """
+    if jax.config.read("jax_enable_x64"):
+        return np.dtype(np.float64)
+    return np.dtype(np.float32)
+
+
+def pad_multiple() -> int:
+    """Atom-axis padding granularity (TPU lane-friendly on accelerator)."""
+    override = os.environ.get("PYWINDOW_TPU_PAD")
+    if override:
+        return int(override)
+    try:
+        platform = jax.default_backend()
+    except RuntimeError:  # pragma: no cover - no backend at all
+        platform = "cpu"
+    return 128 if platform == "tpu" else 8
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalysisConfig:
+    """Static parameters of the pore/window analysis.
+
+    Mirrors the reference defaults (utilities.py:1364-1377, :391-426,
+    :1191-1199, :820-824) so that default runs reproduce the golden values.
+    """
+
+    #: sampling-density multiplier for the golden-spiral sphere
+    #: (utilities.py:1409).
+    adjust: float = 1.0
+    #: coarse ray-path step in Angstrom (utilities.py:1104).
+    increment: float = 1.0
+    #: fine ray-path step for window refinement (utilities.py:1196).
+    increment2: float = 0.1
+    #: shift the sampling origin to the optimised pore centre first
+    #: (utilities.py:1381-1390).
+    pore_opt: bool = True
+    #: covalent-bond distance tolerance in Angstrom (utilities.py:823).
+    bond_tol: float = 0.4
+    #: window z-optimisation lower bound tied to the ray narrow point
+    #: (utilities.py:1296-1297).
+    lb_z: bool = True
+    #: optional second z minimisation pass (off by default,
+    #: utilities.py:1327-1334).
+    z_second_mini: bool = False
+    #: DBSCAN min_samples (sklearn default used by utilities.py:1478).
+    dbscan_min_samples: int = 5
+    #: brute-grid resolution per xy axis (scipy.optimize.brute default Ns,
+    #: utilities.py:1312).
+    brute_ns: int = 20
+    #: maximum number of windows tracked per molecule (padded, masked).
+    max_windows: int = 16
+    #: iteration budget for the on-device bounded quasi-Newton optimiser.
+    opt_maxiter: int = 120
+    #: iteration budget for the Nelder–Mead polish stages.
+    nm_maxiter: int = 400
+
+    def __post_init__(self) -> None:
+        if self.adjust <= 0 or self.increment <= 0 or self.increment2 <= 0:
+            msg = "adjust/increment/increment2 must be positive"
+            raise ValueError(msg)
+
+
+DEFAULT_CONFIG = AnalysisConfig()

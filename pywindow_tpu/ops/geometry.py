@@ -1,0 +1,186 @@
+"""Core geometry kernels: the fused vdW-clearance primitive and friends.
+
+One primitive underlies almost everything the reference computes with
+repeated sklearn ``euclidean_distances`` calls (reference:
+utilities.py:355-388, :1100-1129): the *clearance field*
+
+    clearance(p) = min_i ( ||x_i - p|| - vdw_i )        over valid atoms
+
+Maximum diameter, pore diameter, ray-path analysis and both optimisers are
+all thin wrappers over it, evaluated batched over points x windows x
+molecules x frames via ``vmap``.  Everything here is pure jnp over padded,
+masked arrays (see :mod:`pywindow_tpu.ops.encoding`) and jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pywindow_tpu.ops.encoding import MolArrays
+
+BIG = 1.0e30
+
+
+def center_of_mass(mol: MolArrays) -> jnp.ndarray:
+    """Mass-weighted centre (reference: utilities.py:127-148)."""
+    w = jnp.where(mol.mask, mol.mass, 0.0)
+    return jnp.sum(mol.coords * w[..., None], axis=-2) / jnp.sum(
+        w, axis=-1, keepdims=True
+    )
+
+
+def center_of_coor(mol: MolArrays) -> jnp.ndarray:
+    """Unweighted coordinate mean (reference: utilities.py:110-124)."""
+    w = mol.mask.astype(mol.coords.dtype)
+    return jnp.sum(mol.coords * w[..., None], axis=-2) / jnp.sum(
+        w, axis=-1, keepdims=True
+    )
+
+
+def molecular_weight(mol: MolArrays) -> jnp.ndarray:
+    """Sum of atomic masses (reference: utilities.py:96-107)."""
+    return jnp.sum(jnp.where(mol.mask, mol.mass, 0.0), axis=-1)
+
+
+def shift_to(mol: MolArrays, target_com: jnp.ndarray) -> MolArrays:
+    """Translate so the centre of mass lands on ``target_com``.
+
+    Mirrors ``shift_com`` (reference: utilities.py:344-352) where
+    ``com_adjust`` is the requested post-shift centre of mass.
+    """
+    shift = center_of_mass(mol) - target_com
+    return mol._replace(
+        coords=jnp.where(
+            mol.mask[..., None], mol.coords - shift[..., None, :], mol.coords
+        )
+    )
+
+
+def pairwise_distances(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distances between point sets ``a`` (..,P,3), ``b`` (..,N,3).
+
+    Written as diff-then-norm: at the few-thousand-point scale of this
+    workload the MXU gains of the gram-matrix form are not worth its
+    catastrophic cancellation, and accuracy is the contract here.
+    """
+    diff = a[..., :, None, :] - b[..., None, :, :]
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+
+
+def clearance_field(points: jnp.ndarray, mol: MolArrays) -> jnp.ndarray:
+    """vdW clearance of each probe point: ``min_i(||x_i - p|| - vdw_i)``.
+
+    points: (..., P, 3) broadcast against mol batch dims -> (..., P).
+    Padded atoms cannot win the min (masked to +BIG).
+    """
+    d = pairwise_distances(points, mol.coords) - mol.vdw[..., None, :]
+    return jnp.min(jnp.where(mol.mask[..., None, :], d, BIG), axis=-1)
+
+
+def clearance_and_argmin(
+    points: jnp.ndarray, mol: MolArrays
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Clearance plus the index of the limiting atom (for reporting)."""
+    d = pairwise_distances(points, mol.coords) - mol.vdw[..., None, :]
+    d = jnp.where(mol.mask[..., None, :], d, BIG)
+    return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1)
+
+
+def max_dim(mol: MolArrays) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Maximum vdW-corrected diameter and the two atoms realising it.
+
+    Upper-triangle (diagonal included) argmax of
+    ``dist(i,j) + vdw_i + vdw_j``, row-major on ties — matching
+    ``np.triu`` + ``argmax`` in the reference (utilities.py:355-372).
+    """
+    d = pairwise_distances(mol.coords, mol.coords)
+    d = d + mol.vdw[..., :, None] + mol.vdw[..., None, :]
+    n = mol.coords.shape[-2]
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(n)[None, :]
+    valid = (
+        (rows <= cols)
+        & mol.mask[..., :, None]
+        & mol.mask[..., None, :]
+    )
+    d = jnp.where(valid, d, -BIG)
+    flat = d.reshape(*d.shape[:-2], n * n)
+    idx = jnp.argmax(flat, axis=-1)
+    return idx // n, idx % n, jnp.take_along_axis(
+        flat, idx[..., None], axis=-1
+    )[..., 0]
+
+
+def pore_diameter(
+    mol: MolArrays, com: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Intrinsic pore diameter ``2 * clearance(com)`` and limiting atom.
+
+    reference: utilities.py:375-388.
+    """
+    if com is None:
+        com = center_of_mass(mol)
+    c, idx = clearance_and_argmin(com[..., None, :], mol)
+    return 2.0 * c[..., 0], idx[..., 0]
+
+
+def sphere_volume(radius: jnp.ndarray) -> jnp.ndarray:
+    """4/3 pi r^3 (reference: utilities.py:429-431)."""
+    return 4.0 / 3.0 * jnp.pi * radius**3
+
+
+# ---------------------------------------------------------------------------
+# shape descriptors (reference: utilities.py:434-650)
+# ---------------------------------------------------------------------------
+
+
+def gyration_tensor(mol: MolArrays) -> jnp.ndarray:
+    """COM-corrected gyration tensor / N (reference: utilities.py:461-495)."""
+    com = center_of_mass(mol)
+    x = jnp.where(mol.mask[..., None], mol.coords - com[..., None, :], 0.0)
+    n = jnp.sum(mol.mask, axis=-1).astype(x.dtype)
+    t = jnp.einsum("...ni,...nj->...ij", x, x)
+    return t / n[..., None, None]
+
+
+def inertia_tensor(mol: MolArrays) -> jnp.ndarray:
+    """Mass-weighted inertia tensor / N (reference: utilities.py:498-529).
+
+    Note the reference divides by atom count (not total mass) and does NOT
+    correct for the centre of mass; both quirks are reproduced.
+    """
+    x = jnp.where(mol.mask[..., None], mol.coords, 0.0)
+    m = jnp.where(mol.mask, mol.mass, 0.0)
+    r2 = jnp.sum(x * x, axis=-1)
+    eye = jnp.eye(3, dtype=x.dtype)
+    t = jnp.einsum("...n,...ij->...ij", m * r2, eye) - jnp.einsum(
+        "...n,...ni,...nj->...ij", m, x, x
+    )
+    n = jnp.sum(mol.mask, axis=-1).astype(x.dtype)
+    return t / n[..., None, None]
+
+
+def sorted_eigenvalues(tensor: jnp.ndarray) -> jnp.ndarray:
+    """Descending eigenvalues of a symmetric 3x3 tensor."""
+    vals = jnp.linalg.eigvalsh(tensor)
+    return vals[..., ::-1]
+
+
+def asphericity(eigvals_desc: jnp.ndarray) -> jnp.ndarray:
+    return eigvals_desc[..., 0] - 0.5 * (
+        eigvals_desc[..., 1] + eigvals_desc[..., 2]
+    )
+
+
+def acylindricity(eigvals_desc: jnp.ndarray) -> jnp.ndarray:
+    return eigvals_desc[..., 1] - eigvals_desc[..., 2]
+
+
+def relative_shape_anisotropy(eigvals_desc: jnp.ndarray) -> jnp.ndarray:
+    s = jnp.sum(eigvals_desc, axis=-1)
+    pair = (
+        eigvals_desc[..., 0] * eigvals_desc[..., 1]
+        + eigvals_desc[..., 0] * eigvals_desc[..., 2]
+        + eigvals_desc[..., 1] * eigvals_desc[..., 2]
+    )
+    return 1.0 - 3.0 * pair / (s * s)

@@ -14,6 +14,7 @@ masked arrays (see :mod:`pywindow_tpu.ops.encoding`) and jit-safe.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pywindow_tpu.ops.encoding import MolArrays
@@ -139,7 +140,9 @@ def gyration_tensor(mol: MolArrays) -> jnp.ndarray:
     com = center_of_mass(mol)
     x = jnp.where(mol.mask[..., None], mol.coords - com[..., None, :], 0.0)
     n = jnp.sum(mol.mask, axis=-1).astype(x.dtype)
-    t = jnp.einsum("...ni,...nj->...ij", x, x)
+    t = jnp.einsum(
+        "...ni,...nj->...ij", x, x, precision=jax.lax.Precision.HIGHEST
+    )
     return t / n[..., None, None]
 
 
@@ -154,7 +157,11 @@ def inertia_tensor(mol: MolArrays) -> jnp.ndarray:
     r2 = jnp.sum(x * x, axis=-1)
     eye = jnp.eye(3, dtype=x.dtype)
     t = jnp.einsum("...n,...ij->...ij", m * r2, eye) - jnp.einsum(
-        "...n,...ni,...nj->...ij", m, x, x
+        "...n,...ni,...nj->...ij",
+        m,
+        x,
+        x,
+        precision=jax.lax.Precision.HIGHEST,
     )
     n = jnp.sum(mol.mask, axis=-1).astype(x.dtype)
     return t / n[..., None, None]

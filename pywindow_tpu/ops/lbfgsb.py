@@ -157,7 +157,11 @@ def _fd_value_and_grad(f_batch: Callable, x: jnp.ndarray):
     fuse into one batched clearance kernel call.
     """
     d = x.shape[-1]
-    h = _FD_REL * jnp.maximum(1.0, jnp.abs(x)) * jnp.where(x >= 0, 1.0, -1.0)
+    # scipy's rel step sqrt(eps) — of the *working* dtype: the f64 value
+    # (1.5e-8) is below float32 resolution and would yield garbage
+    # gradients in TPU f32 mode.
+    rel = jnp.sqrt(jnp.finfo(x.dtype).eps).astype(x.dtype)
+    h = rel * jnp.maximum(1.0, jnp.abs(x)) * jnp.where(x >= 0, 1.0, -1.0)
     probes = jnp.concatenate(
         [x[None, :], x[None, :] + jnp.diag(h)], axis=0
     )  # (d+1, d)

@@ -86,7 +86,11 @@ def ray_sphere_intersections(
     rel = jnp.where(
         mol.mask[..., None], mol.coords - origin[..., None, :], 0.0
     )  # (..., N, 3)
-    t_ca = jnp.einsum("...pi,...ni->...pn", unit, rel)
+    # full-f32 precision: the TPU matmul default (bf16 multiplies) loses
+    # ~3 decimal digits, which is fatal for the near-tangent hit tests.
+    t_ca = jnp.einsum(
+        "...pi,...ni->...pn", unit, rel, precision=jax.lax.Precision.HIGHEST
+    )
     # Perpendicular distance via the stable vector form
     # d = |rel - (rel.u) u| : the naive |rel|^2 - t_ca^2 cancels
     # catastrophically in float32 and flips near-tangent hits.

@@ -1,0 +1,290 @@
+"""The window-finding pipeline, fully on device.
+
+Reproduces ``find_windows`` (reference: utilities.py:1364-1553) and the
+per-cluster refinement ``window_analysis`` (reference:
+utilities.py:1191-1361) as one jit-able function over padded arrays:
+
+1. shift the molecule so the (optionally optimised) pore centre sits at
+   the origin,
+2. golden-spiral rays over a sphere of radius max_dim/2; analytic
+   pre-analysis culls blocked rays; surviving rays are path-sampled at
+   1 A steps and kept only if the whole path has positive clearance,
+3. DBSCAN over the surviving rays' sphere points (eps = mean 10-NN
+   distance + its square root),
+4. per cluster: the widest ray is re-sampled at 0.1 A, the molecule is
+   rotated so that ray becomes +Z (the reference's per-octant angle-sign
+   table), translated so the ray's narrowest point is the origin, then
+   the window centre is refined: bounded 1-D minimisation in z
+   (L-BFGS-B mimic), 20x20 brute grid + Nelder-Mead polish in xy,
+5. window diameter = clearance diameter at the refined centre; the
+   centre is rotated back and reported in the input frame.
+
+Window count is padded to ``cfg.max_windows`` with a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pywindow_tpu.config import AnalysisConfig
+from pywindow_tpu.ops import rays
+from pywindow_tpu.ops.cluster import dbscan
+from pywindow_tpu.ops.encoding import MolArrays
+from pywindow_tpu.ops.geometry import (
+    BIG,
+    center_of_mass,
+    clearance_field,
+    max_dim,
+    pore_diameter,
+)
+from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize
+from pywindow_tpu.ops.optim import brute_then_polish
+
+
+class WindowsResult(NamedTuple):
+    """Padded window set for one molecule."""
+
+    diameters: jnp.ndarray  # (W,)
+    centers: jnp.ndarray  # (W, 3) in the input coordinate frame
+    valid: jnp.ndarray  # (W,) bool
+    any_open: jnp.ndarray  # scalar bool; False == reference's None return
+    n_clusters: jnp.ndarray  # scalar int32 (before refinement failures)
+    refine_failed: jnp.ndarray  # (W,) bool, for warning parity
+
+
+def _octant_angles(vector: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotation angles taking ``vector`` to +Z, with the reference's
+    per-octant sign table (reference: utilities.py:1235-1258)."""
+    vx, vy, vz = vector[0], vector[1], vector[2]
+    dtype = vector.dtype
+    two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
+    pi = jnp.asarray(jnp.pi, dtype)
+
+    # angle_between uses |dot| so both raw angles are in [0, pi/2]
+    # (reference: utilities.py:1088-1097).
+    xy_norm = jnp.sqrt(vx * vx + vy * vy)
+    a1r = jnp.arccos(jnp.clip(jnp.abs(vx) / xy_norm, 0.0, 1.0))
+    vnorm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    a2r = jnp.arccos(jnp.clip(jnp.abs(vz) / vnorm, 0.0, 1.0))
+
+    xp = vx >= 0
+    yp = vy >= 0
+    zp = vz >= 0
+
+    a1 = jnp.where(
+        zp,
+        jnp.where(
+            xp,
+            jnp.where(yp, -a1r, a1r),
+            jnp.where(yp, two_pi + a1r, two_pi - a1r),
+        ),
+        jnp.where(
+            xp,
+            jnp.where(yp, -a1r, a1r),
+            jnp.where(yp, a1r, -a1r),
+        ),
+    )
+    a2 = jnp.where(
+        zp,
+        jnp.where(xp, -a2r, a2r),
+        jnp.where(xp, pi + a2r, pi - a2r),
+    )
+    return a1, a2
+
+
+def _rot_z(angle: jnp.ndarray) -> jnp.ndarray:
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, z]),
+            jnp.stack([s, c, z]),
+            jnp.stack([z, z, o]),
+        ]
+    )
+
+
+def _rot_y(angle: jnp.ndarray) -> jnp.ndarray:
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, z, s]),
+            jnp.stack([z, o, z]),
+            jnp.stack([-s, z, c]),
+        ]
+    )
+
+
+def _window_refine(
+    mol: MolArrays,
+    vector: jnp.ndarray,
+    l2: int,
+    cfg: AnalysisConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Refine one window from its widest sampling ray.
+
+    Returns (diameter, centre (3,), ok).  ``mol`` is the pore-centred
+    molecule; ``vector`` the cluster's widest ray (a spiral point).
+    """
+    dtype = vector.dtype
+    refined = rays.path_analysis(
+        vector[None, :], mol, cfg.increment2, l2
+    )
+    ok = refined.ok[0]
+    new_z = refined.dist[0]
+
+    a1, a2 = _octant_angles(vector)
+    rz = _rot_z(a1)
+    ry = _rot_y(a2)
+    # full-f32 precision: TPU's default bf16 matmul would corrupt the
+    # rotated coordinates at the 1e-2 level.
+    hi = jax.lax.Precision.HIGHEST
+    coords = jnp.matmul(
+        jnp.matmul(mol.coords, rz.T, precision=hi), ry.T, precision=hi
+    )
+    coords = coords - jnp.asarray([0.0, 0.0, 1.0], dtype) * new_z
+    rmol = mol._replace(coords=coords)
+
+    wd0 = 2.0 * clearance_field(jnp.zeros((1, 3), dtype), rmol)[0]
+
+    # --- z minimisation (reference: utilities.py:1299-1305) -----------
+    def f_z(zs):  # (K, 1) -> (K,)
+        pts = jnp.concatenate(
+            [jnp.zeros((zs.shape[0], 2), dtype), zs], axis=-1
+        )
+        return 2.0 * clearance_field(pts, rmol)
+
+    z_lower = jnp.where(
+        jnp.asarray(cfg.lb_z), -new_z, jnp.asarray(-1e10, dtype)
+    )
+    zres = lbfgsb_minimize(
+        f_z,
+        jnp.zeros((1,), dtype),
+        z_lower[None].astype(dtype),
+        jnp.asarray([1e10], dtype),
+        maxiter=cfg.opt_maxiter,
+    )
+    z_star = zres.x[0]
+
+    # --- xy brute grid + Nelder-Mead polish (utilities.py:1307-1317) --
+    def f_xy(xy):  # (2,) -> scalar, negative diameter (maximise)
+        pt = jnp.stack([xy[0], xy[1], z_star])[None, :]
+        return -2.0 * clearance_field(pt, rmol)[0]
+
+    half = wd0 / 2.0
+    xy_star, _ = brute_then_polish(
+        f_xy,
+        jnp.stack([-half, -half]),
+        jnp.stack([half, half]),
+        ns=cfg.brute_ns,
+        maxiter=cfg.nm_maxiter,
+    )
+
+    if cfg.z_second_mini:
+
+        def f_z2(zs):
+            pts = jnp.concatenate(
+                [
+                    jnp.broadcast_to(xy_star, (zs.shape[0], 2)),
+                    zs,
+                ],
+                axis=-1,
+            )
+            return 2.0 * clearance_field(pts, rmol)
+
+        zres2 = lbfgsb_minimize(
+            f_z2,
+            zres.x,
+            z_lower[None].astype(dtype),
+            jnp.asarray([1e10], dtype),
+            maxiter=cfg.opt_maxiter,
+        )
+        z_star = zres2.x[0]
+
+    centre_local = jnp.stack([xy_star[0], xy_star[1], z_star])
+    diameter = 2.0 * clearance_field(centre_local[None, :], rmol)[0]
+
+    # reverse the transforms (utilities.py:1338-1360)
+    centre = centre_local + jnp.asarray([0.0, 0.0, 1.0], dtype) * new_z
+    centre = jnp.matmul(_rot_y(-a2), centre, precision=hi)
+    centre = jnp.matmul(_rot_z(-a1), centre, precision=hi)
+    return diameter, centre, ok
+
+
+def find_windows(
+    mol: MolArrays,
+    n_points: int,
+    l1: int,
+    l2: int,
+    cfg: AnalysisConfig,
+) -> WindowsResult:
+    """Full window detection for one molecule (input frame coordinates)."""
+    dtype = mol.coords.dtype
+    initial_com = center_of_mass(mol)
+
+    if cfg.pore_opt:
+        pd0, _ = pore_diameter(mol, com=initial_com)
+        pore_r = pd0 / 2.0
+
+        def f_neg(points):
+            return -2.0 * clearance_field(points, mol)
+
+        opt = lbfgsb_minimize(
+            f_neg,
+            initial_com,
+            initial_com - pore_r,
+            initial_com + pore_r,
+            maxiter=cfg.opt_maxiter,
+        )
+        centre = opt.x
+    else:
+        centre = initial_com
+
+    shifted = mol._replace(coords=mol.coords - centre[None, :])
+
+    _, _, md = max_dim(shifted)
+    radius = md / 2.0
+    points = rays.golden_spiral(n_points, radius, dtype=dtype)
+    eps = rays.mean_knn_eps(points)
+
+    open_pre = rays.preanalysis_open(points, shifted)
+    path = rays.path_analysis(points, shifted, cfg.increment, l1)
+    survives = open_pre & path.ok
+    any_open = jnp.any(survives)
+
+    labels, n_clusters = dbscan(
+        points,
+        survives,
+        eps,
+        min_samples=cfg.dbscan_min_samples,
+        max_clusters=cfg.max_windows,
+    )
+
+    def per_cluster(w):
+        in_cluster = labels == w
+        width_masked = jnp.where(in_cluster, path.width, -BIG)
+        sel = jnp.argmax(width_masked)
+        vector = points[sel]
+        exists = (w < n_clusters) & jnp.any(in_cluster)
+        diameter, centre_local, ok = _window_refine(shifted, vector, l2, cfg)
+        return diameter, centre_local, exists, exists & ~ok
+
+    diams, centres, exists, failed = jax.lax.map(
+        per_cluster, jnp.arange(cfg.max_windows, dtype=jnp.int32)
+    )
+    valid = exists & ~failed
+    centres = centres + centre[None, :]
+    return WindowsResult(
+        diameters=jnp.where(valid, diams, jnp.nan),
+        centers=jnp.where(valid[:, None], centres, jnp.nan),
+        valid=valid,
+        any_open=any_open,
+        n_clusters=n_clusters,
+        refine_failed=failed,
+    )

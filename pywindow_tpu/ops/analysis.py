@@ -1,0 +1,218 @@
+"""Fused full-molecule analysis: the device pipeline behind
+``Molecule.full_analysis`` (reference: molecular.py:156-202).
+
+``full_analysis_device`` is one jit-able function computing every
+property the reference accumulates across seven methods; the host
+wrapper derives the static sampling sizes (point counts, path lengths)
+from the molecule's maximum diameter, memoises the compiled kernels per
+shape/config, and converts results into the reference's properties-dict
+schema.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pywindow_tpu.config import DEFAULT_CONFIG, AnalysisConfig
+from pywindow_tpu.ops import rays
+from pywindow_tpu.ops.encoding import MolArrays, encode
+from pywindow_tpu.ops.geometry import (
+    center_of_mass,
+    clearance_field,
+    max_dim,
+    molecular_weight,
+    pore_diameter,
+    shift_to,
+    sphere_volume,
+)
+from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize
+from pywindow_tpu.ops.windows import WindowsResult, find_windows
+
+logger = logging.getLogger("pywindow_tpu")
+
+
+class FullAnalysis(NamedTuple):
+    """Everything ``full_analysis`` computes, as device arrays."""
+
+    molecular_weight: jnp.ndarray
+    centre_of_mass: jnp.ndarray  # (3,)
+    maxd_atom_1: jnp.ndarray
+    maxd_atom_2: jnp.ndarray
+    maximum_diameter: jnp.ndarray
+    average_diameter: jnp.ndarray
+    pore_diameter: jnp.ndarray
+    pore_atom: jnp.ndarray
+    pore_volume: jnp.ndarray
+    pore_opt_diameter: jnp.ndarray
+    pore_opt_atom: jnp.ndarray
+    pore_opt_centre: jnp.ndarray  # (3,)
+    pore_opt_volume: jnp.ndarray
+    windows: WindowsResult
+
+
+def pore_diameter_opt(
+    mol: MolArrays, cfg: AnalysisConfig = DEFAULT_CONFIG
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Optimised pore: L-BFGS-B mimic from the COM within +-pore_r bounds
+    (reference: utilities.py:400-426)."""
+    com = center_of_mass(mol)
+    pd0, _ = pore_diameter(mol, com=com)
+    pore_r = pd0 / 2.0
+
+    def f_neg(points):
+        return -2.0 * clearance_field(points, mol)
+
+    opt = lbfgsb_minimize(
+        f_neg, com, com - pore_r, com + pore_r, maxiter=cfg.opt_maxiter
+    )
+    d, atom = pore_diameter(mol, com=opt.x)
+    return d, atom, opt.x
+
+
+def full_analysis_device(
+    mol: MolArrays,
+    n_points_windows: int,
+    n_points_avg: int,
+    l1: int,
+    l2: int,
+    cfg: AnalysisConfig,
+) -> FullAnalysis:
+    mw = molecular_weight(mol)
+    com = center_of_mass(mol)
+    a1, a2, maxd = max_dim(mol)
+
+    # average diameter runs on the COM-centred molecule with a sampling
+    # sphere of radius = full max diameter (utilities.py:1586-1650).
+    centred = shift_to(mol, jnp.zeros(3, mol.coords.dtype))
+    _, _, maxd_c = max_dim(centred)
+    avg = rays.average_diameter(centred, n_points_avg, maxd_c)
+
+    pd, pd_atom = pore_diameter(mol, com=com)
+    pv = sphere_volume(pd / 2.0)
+    pod, pod_atom, pod_centre = pore_diameter_opt(mol, cfg)
+    pov = sphere_volume(pod / 2.0)
+
+    wins = find_windows(mol, n_points_windows, l1, l2, cfg)
+
+    return FullAnalysis(
+        molecular_weight=mw,
+        centre_of_mass=com,
+        maxd_atom_1=a1,
+        maxd_atom_2=a2,
+        maximum_diameter=maxd,
+        average_diameter=avg,
+        pore_diameter=pd,
+        pore_atom=pd_atom,
+        pore_volume=pv,
+        pore_opt_diameter=pod,
+        pore_opt_atom=pod_atom,
+        pore_opt_centre=pod_centre,
+        pore_opt_volume=pov,
+        windows=wins,
+    )
+
+
+def static_sizes(
+    max_diameter: float, cfg: AnalysisConfig
+) -> tuple[int, int, int, int]:
+    """Derive the static sampling sizes from a molecule's max diameter.
+
+    Point counts must match the reference exactly (the spiral layout
+    depends on them); path-step bounds are padded to multiples of 8 to
+    bound jit-cache churn across trajectory frames.
+    """
+    radius = max_diameter / 2.0
+    n_win = rays.number_of_points(radius, cfg.adjust)
+    n_avg = rays.number_of_points(max_diameter, cfg.adjust)
+    l1 = int(radius // cfg.increment) + 2
+    l2 = int(radius // cfg.increment2) + 2
+    pad8 = lambda n: ((n + 7) // 8) * 8  # noqa: E731
+    return n_win, n_avg, pad8(l1), pad8(l2)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_full_analysis(n_win, n_avg, l1, l2, cfg):
+    fn = functools.partial(
+        full_analysis_device,
+        n_points_windows=n_win,
+        n_points_avg=n_avg,
+        l1=l1,
+        l2=l2,
+        cfg=cfg,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_max_dim():
+    return jax.jit(max_dim)
+
+
+def analyze(
+    elements: np.ndarray,
+    coordinates: np.ndarray,
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    pad_to: int | None = None,
+) -> dict:
+    """Host entry: full analysis of one molecule -> reference-schema dict.
+
+    Two-phase: a cheap device call gets the maximum diameter, from which
+    the static sampling shapes are derived; then the fused pipeline runs.
+    """
+    mol = encode(elements, coordinates, pad_to=pad_to)
+    maxd = float(_compiled_max_dim()(mol)[2])
+    n_win, n_avg, l1, l2 = static_sizes(maxd, cfg)
+    res = _compiled_full_analysis(n_win, n_avg, l1, l2, cfg)(mol)
+    return to_properties_dict(jax.tree_util.tree_map(np.asarray, res))
+
+
+def to_properties_dict(res: FullAnalysis) -> dict:
+    """Convert device results into the reference properties schema
+    (keys as produced by molecular.py:215-352)."""
+    wins = res.windows
+    if not bool(wins.any_open):
+        windows = {"diameters": None, "centre_of_mass": None}
+    else:
+        valid = np.asarray(wins.valid)
+        windows = {
+            "diameters": np.asarray(wins.diameters)[valid],
+            "centre_of_mass": np.asarray(wins.centers)[valid],
+        }
+        if bool(np.any(np.asarray(wins.refine_failed))):
+            logger.warning(
+                "one of the analysed windows has returned as None "
+                "(refinement failed); see manual"
+            )
+        if windows["diameters"].size and np.any(windows["diameters"] < 0):
+            logger.warning(
+                "one of the analysed windows has a vdW-corrected diameter "
+                "smaller than 0; see manual"
+            )
+    return {
+        "centre_of_mass": np.asarray(res.centre_of_mass),
+        "maximum_diameter": {
+            "diameter": float(res.maximum_diameter),
+            "atom_1": int(res.maxd_atom_1),
+            "atom_2": int(res.maxd_atom_2),
+        },
+        "average_diameter": float(res.average_diameter),
+        "pore_diameter": {
+            "diameter": float(res.pore_diameter),
+            "atom": int(res.pore_atom),
+        },
+        "pore_volume": float(res.pore_volume),
+        "pore_diameter_opt": {
+            "diameter": float(res.pore_opt_diameter),
+            "atom_1": int(res.pore_opt_atom),
+            "centre_of_mass": np.asarray(res.pore_opt_centre),
+        },
+        "pore_volume_opt": float(res.pore_opt_volume),
+        "windows": windows,
+        "molecular_weight": float(res.molecular_weight),
+    }

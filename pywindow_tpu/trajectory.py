@@ -1,0 +1,526 @@
+"""MD trajectory analysis: DL_POLY HISTORY, PDB and XYZ trajectories.
+
+Same user surface as the reference (reference: trajectory.py:103-1045):
+mmap-based byte maps per frame, ``get_frames``, ``analysis`` with
+resume-by-default semantics, ``save_analysis`` / ``save_frames``.  The
+per-frame math runs through the fused device pipeline; the batched
+multi-frame fast path lives in :mod:`pywindow_tpu.parallel.batch`.
+
+Fixed reference quirks (documented):
+* tuple frame ranges work (the reference unconditionally raised,
+  trajectory.py:443-454),
+* ``make_supercell`` uses ``supercell[2]`` for the c direction (the
+  reference used ``supercell[1]``, trajectory.py:98).
+"""
+
+from __future__ import annotations
+
+import pathlib
+from contextlib import closing
+from copy import deepcopy
+from mmap import ACCESS_READ, mmap
+
+import numpy as np
+
+from pywindow_tpu.io.outputs import Output, to_list
+from pywindow_tpu.molecular import MolecularSystem
+from pywindow_tpu.ops.cell import (
+    create_supercell,
+    lattice_array_to_unit_cell,
+)
+from pywindow_tpu.utilities import is_number
+
+
+class TrajectoryError(ValueError):
+    """Corrupted or inconsistent trajectory file."""
+
+
+def make_supercell(system: dict, supercell=None) -> MolecularSystem:
+    """Expand a unit cell into a supercell MolecularSystem
+    (reference: trajectory.py:75-100, with the c-axis bug fixed)."""
+    if supercell is None:
+        supercell = [1, 1, 1]
+    user_supercell = [
+        [1, supercell[0]],
+        [1, supercell[1]],
+        [1, supercell[2]],
+    ]
+    system = create_supercell(system=system, supercell=user_supercell)
+    return MolecularSystem.load_system(system)
+
+
+class Trajectory:
+    """Base trajectory: byte-mapped frames + analysis orchestration."""
+
+    def __init__(self, filepath: pathlib.Path | str) -> None:
+        self.filepath = pathlib.Path(filepath)
+        self.filename = self.filepath.name
+        self.system_id = self.filename.split(".")[0]
+        self.frames: dict = {}
+        self.analysis_output: dict = {}
+        self.trajectory_map: dict = {}
+        self.no_of_frames = 0
+
+    # -- frame access ---------------------------------------------------
+
+    def _decode_frame(self, frame: list) -> dict:
+        raise NotImplementedError
+
+    def _frame_slice(self, frame_no: int) -> bytes:
+        start, end = self.trajectory_map[frame_no]
+        with (
+            self.filepath.open() as fh,
+            closing(mmap(fh.fileno(), 0, access=ACCESS_READ)) as mapped,
+        ):
+            return mapped[start:end]
+
+    def _get_frame(
+        self,
+        frame_coordinates=None,
+        frame_no: int = 0,
+        swap_atoms: dict | None = None,
+        forcefield: str | None = None,
+        extract_data: bool = True,
+    ):
+        raw = self._frame_slice(frame_no).decode("utf-8")
+        if not extract_data:
+            return raw
+        frame = [ln.split() for ln in raw.split("\n")][:-1]
+        molsys = MolecularSystem.load_system(
+            self._decode_frame(frame),
+            "_".join([self.system_id, str(frame_no)]),
+        )
+        if swap_atoms is not None:
+            molsys.swap_atom_keys(swap_atoms)
+        if forcefield is not None:
+            molsys.decipher_atom_keys(forcefield)
+        return molsys
+
+    def _resolve_frames(self, frames) -> list[int]:
+        if isinstance(frames, int):
+            return [frames]
+        if isinstance(frames, list):
+            bad = [f for f in frames if not isinstance(f, int)]
+            if bad:
+                msg = "the frames list must contain integers only"
+                raise TypeError(msg)
+            return list(frames)
+        if isinstance(frames, tuple):
+            if len(frames) != 2 or not all(
+                isinstance(f, int) for f in frames
+            ):
+                msg = (
+                    "a frames tuple must hold exactly two integers "
+                    "(start, stop)"
+                )
+                raise TypeError(msg)
+            return list(range(frames[0], frames[1]))
+        if isinstance(frames, str) and frames in ("all", "everything"):
+            return list(range(self.no_of_frames))
+        msg = f"unrecognised frames specification: {frames!r}"
+        raise ValueError(msg)
+
+    def get_frames(
+        self,
+        frames="all",
+        override: bool = False,
+        swap_atoms: dict | None = None,
+        forcefield: str | None = None,
+        extract_data: bool = True,
+    ) -> dict:
+        """Extract frame(s) as :class:`MolecularSystem` objects
+        (reference: trajectory.py:112-212)."""
+        if override:
+            self.frames = {}
+        collected = {}
+        for frame in self._resolve_frames(frames):
+            if frame not in self.frames:
+                self.frames[frame] = self._get_frame(
+                    frame_no=frame,
+                    swap_atoms=swap_atoms,
+                    forcefield=forcefield,
+                    extract_data=extract_data,
+                )
+            collected[frame] = self.frames[frame]
+        return collected
+
+    # -- analysis ---------------------------------------------------------
+
+    def analysis(
+        self,
+        frames="all",
+        ncpus: int = 1,
+        ncpus_analysis: int = 1,
+        override: bool = False,
+        modular: bool = False,
+        rebuild: bool = False,
+        swap_atoms: dict | None = None,
+        forcefield: str | None = None,
+    ) -> None:
+        """Analyse frames; results populate :attr:`analysis_output`.
+
+        Resume semantics: with ``override=False`` already-analysed frames
+        are skipped (reference: trajectory.py:463-471).  ``ncpus`` /
+        ``ncpus_analysis`` are accepted for API compatibility; frame
+        batching across the device replaces process pools.
+        """
+        del ncpus, ncpus_analysis
+        todo = self._resolve_frames(frames)
+        if not override:
+            todo = [f for f in todo if f not in self.analysis_output]
+        for frame in todo:
+            self.analysis_output[frame] = self._analyse_frame(
+                frame,
+                modular=modular,
+                rebuild=rebuild,
+                swap_atoms=swap_atoms,
+                forcefield=forcefield,
+            )
+
+    def _analyse_frame(
+        self,
+        frame: int,
+        modular: bool,
+        rebuild: bool,
+        swap_atoms: dict | None,
+        forcefield: str | None,
+    ) -> dict:
+        molsys = self._get_frame(
+            frame_no=frame,
+            swap_atoms=swap_atoms,
+            forcefield=forcefield,
+        )
+        if modular:
+            molsys.make_modular(rebuild=rebuild)
+            molecules = molsys.molecules
+        else:
+            molecules = {"0": molsys.system_to_molecule()}
+        return {
+            key: mol.full_analysis() for key, mol in molecules.items()
+        }
+
+    # -- persistence -------------------------------------------------------
+
+    def save_analysis(
+        self,
+        filepath: pathlib.Path | str | None = None,
+        override: bool = False,
+    ) -> None:
+        dict_obj = deepcopy(self.analysis_output)
+        if filepath is None:
+            filepath = (
+                pathlib.Path.cwd() / f"{self.system_id}_pywindow_analysis"
+            )
+        Output().dump2json(
+            dict_obj, pathlib.Path(filepath), default=to_list,
+            override=override,
+        )
+
+    def save_frames(
+        self,
+        frames="all",
+        filepath: pathlib.Path | str | None = None,
+        decipher: bool = True,
+        swap_atoms: dict | None = None,
+        forcefield: str | None = None,
+        **kwargs,
+    ) -> None:
+        if filepath is None:
+            filepath = pathlib.Path.cwd() / str(self.system_id)
+        filepath = pathlib.Path(filepath)
+        if filepath.suffix not in (".pdb", ".xyz"):
+            msg = (
+                f"the {filepath.suffix} extension is not supported for "
+                "dumping frames; use .pdb or .xyz"
+            )
+            raise ValueError(msg)
+        to_get = self._resolve_frames(frames)
+        self.get_frames(to_get)
+        for frame in to_get:
+            molsys = self.frames[frame]
+            if decipher and forcefield is not None:
+                if swap_atoms is not None:
+                    if not isinstance(swap_atoms, dict):
+                        msg = "swap_atoms must be a dictionary"
+                        raise TypeError(msg)
+                    molsys.swap_atom_keys(swap_atoms)
+                molsys.decipher_atom_keys(forcefield)
+            if "elements" not in molsys.system:
+                msg = (
+                    "the frame needs an 'elements' key; set decipher=True "
+                    "with a forcefield (see manual)"
+                )
+                raise ValueError(msg)
+            ffilepath = filepath.with_name(
+                f"{filepath.stem}_{frame}{filepath.suffix}"
+            )
+            Output().dump2file(
+                molsys.system,
+                ffilepath,
+                atom_ids_key=(
+                    "elements"
+                    if "atom_ids" not in molsys.system
+                    else "atom_ids"
+                ),
+                **kwargs,
+            )
+
+
+class DLPOLY(Trajectory):
+    """DL_POLY_C HISTORY trajectory (reference: trajectory.py:589-833)."""
+
+    IMCON = {
+        0: "nonperiodic",
+        1: "cubic",
+        2: "orthorhombic",
+        3: "parallelepiped",
+        4: "truncated octahedral",
+        5: "rhombic dodecahedral",
+        6: "x-y parallelogram",
+        7: "hexagonal prism",
+    }
+    KEYTRJ = {
+        0: "coordinates",
+        1: "coordinates and velocities",
+        2: "coordinates, velocities and forces",
+    }
+
+    def __init__(self, filepath: pathlib.Path | str) -> None:
+        super().__init__(filepath)
+        self._check_history()
+        self._map_history()
+
+    def _map_history(self) -> None:
+        """Byte-map every frame (reference: trajectory.py:647-689)."""
+        self.trajectory_map = {}
+        with (
+            self.filepath.open() as fh,
+            closing(mmap(fh.fileno(), 0, access=ACCESS_READ)) as mapped,
+        ):
+            progress = 0
+            frame = 0
+            frame_start = 0
+            header_done = False
+            while True:
+                bline = mapped.readline()
+                if len(bline) == 0:
+                    self.trajectory_map[frame] = [frame_start, progress]
+                    frame += 1
+                    break
+                sline = bline.decode("utf-8").split()
+                if sline and sline[0] == "timestep":
+                    if header_done:
+                        self.trajectory_map[frame] = [
+                            frame_start,
+                            progress,
+                        ]
+                        frame += 1
+                    else:
+                        self._decode_header(mapped[0:progress])
+                        header_done = True
+                    frame_start = progress
+                progress += len(bline)
+        self.no_of_frames = frame
+
+    def _decode_header(self, raw: bytes) -> None:
+        header = [ln.split() for ln in raw.decode("utf-8").split("\n")]
+        keytrj, imcon, natms = (int(v) for v in header[1][:3])
+        self.periodic_boundary = self.IMCON[imcon]
+        self.content_type = self.KEYTRJ[keytrj]
+        self.no_of_atoms = natms
+
+    def _decode_frame(self, frame: list) -> dict:
+        """Decode one HISTORY frame (reference: trajectory.py:712-766)."""
+        info = {
+            "nstep": int(frame[0][1]),
+            "natms": int(frame[0][2]),
+            "keytrj": int(frame[0][3]),
+            "imcon": int(frame[0][4]),
+            "tstep": float(frame[0][5]),
+        }
+        out: dict = {"frame_info": info}
+        start = 1
+        if info["imcon"] in (1, 2, 3):
+            out["lattice"] = np.array(frame[1:4], dtype=float).T
+            out["unit_cell"] = lattice_array_to_unit_cell(out["lattice"])
+            start = 4
+        stride = info["keytrj"] + 2
+        body = frame[start:]
+        ids = [body[i][0] for i in range(0, len(body), stride)]
+        coords = [body[i] for i in range(1, len(body), stride)]
+        out["atom_ids"] = np.array(ids)
+        out["coordinates"] = np.array(coords, dtype=float)
+        if stride >= 3:
+            out["velocities"] = np.array(
+                [body[i] for i in range(2, len(body), stride)], dtype=float
+            )
+        if stride >= 4:
+            out["forces"] = np.array(
+                [body[i] for i in range(3, len(body), stride)], dtype=float
+            )
+        return out
+
+    def _check_history(self) -> None:
+        """Integrity check: monotone timesteps, no empty lines, header
+        shape warnings (reference: trajectory.py:768-833)."""
+        self.check_log = ""
+        line_no = 0
+        timestep = 0
+        with (
+            self.filepath.open() as fh,
+            closing(mmap(fh.fileno(), 0, access=ACCESS_READ)) as mapped,
+        ):
+            while True:
+                bline = mapped.readline()
+                if len(bline) == 0:
+                    break
+                line_no += 1
+                sline = bline.decode("utf-8").strip("\n").split()
+                if len(sline) == 0:
+                    msg = f"Line {line_no}: the file contains an empty line"
+                    raise TrajectoryError(msg)
+                if line_no == 1 and sline[0] != "DLFIELD":
+                    self.check_log += (
+                        f"Line {line_no}: no comment line present as the "
+                        "file header\n"
+                    )
+                if line_no == 2 and len(sline) != 3:
+                    self.check_log += (
+                        f"Line {line_no}: second header line (periodicity "
+                        "/ trajectory type) is missing\n"
+                    )
+                if sline[0] == "timestep":
+                    new_timestep = int(sline[1])
+                    if timestep > new_timestep:
+                        msg = (
+                            f"Line {line_no}: the trajectory is "
+                            "discontinuous"
+                        )
+                        raise TrajectoryError(msg)
+                    timestep = new_timestep
+
+
+class XYZ(Trajectory):
+    """XYZ trajectory (reference: trajectory.py:836-931)."""
+
+    def __init__(self, filepath: pathlib.Path | str) -> None:
+        super().__init__(filepath)
+        self._map_trajectory()
+
+    def _map_trajectory(self) -> None:
+        self.trajectory_map = {}
+        with (
+            self.filepath.open() as fh,
+            closing(mmap(fh.fileno(), 0, access=ACCESS_READ)) as mapped,
+        ):
+            progress = 0
+            frame = -1
+            frame_start = 0
+            while True:
+                bline = mapped.readline()
+                if len(bline) == 0:
+                    frame += 1
+                    self.trajectory_map[frame] = [frame_start, progress]
+                    break
+                sline = bline.decode("utf-8").strip("\n").split()
+                if len(sline) == 1 and is_number(sline[0]) and progress > 0:
+                    frame += 1
+                    self.trajectory_map[frame] = [frame_start, progress]
+                    frame_start = progress
+                progress += len(bline)
+        self.no_of_frames = frame + 1
+
+    def _decode_frame(self, frame: list) -> dict:
+        out = {
+            "frame_info": {
+                "natms": int(frame[0][0]),
+                "remarks": " ".join(frame[1]),
+            }
+        }
+        # elements land in atom_ids (deciphering may be needed) — same
+        # contract as the reference (trajectory.py:916-931).
+        out["atom_ids"] = np.array([row[0] for row in frame[2:]])
+        out["coordinates"] = np.array(
+            [row[1:4] for row in frame[2:]], dtype=float
+        )
+        return out
+
+
+class PDB(Trajectory):
+    """PDB trajectory, frames separated by END lines
+    (reference: trajectory.py:934-1045)."""
+
+    def __init__(self, filepath: pathlib.Path | str) -> None:
+        super().__init__(filepath)
+        self._map_trajectory()
+
+    def _map_trajectory(self) -> None:
+        self.trajectory_map = {}
+        with (
+            self.filepath.open() as fh,
+            closing(mmap(fh.fileno(), 0, access=ACCESS_READ)) as mapped,
+        ):
+            progress = 0
+            frame = -1
+            frame_start = 0
+            while True:
+                bline = mapped.readline()
+                if len(bline) == 0:
+                    if progress - frame_start > 10:
+                        frame += 1
+                        self.trajectory_map[frame] = [
+                            frame_start,
+                            progress,
+                        ]
+                    break
+                sline = bline.decode("utf-8").strip("\n").split()
+                if len(sline) == 1 and sline[0] == "END":
+                    frame += 1
+                    self.trajectory_map[frame] = [frame_start, progress]
+                    frame_start = progress
+                progress += len(bline)
+        self.no_of_frames = frame + 1
+
+    def _get_frame(self, frame_coordinates=None, frame_no: int = 0, **kw):
+        # PDB frames are decoded from raw fixed-column lines, not
+        # whitespace splits.
+        raw = self._frame_slice(frame_no).decode("utf-8")
+        if not kw.get("extract_data", True):
+            return raw
+        molsys = MolecularSystem.load_system(
+            self._decode_frame(raw.split("\n")),
+            "_".join([self.system_id, str(frame_no)]),
+        )
+        if kw.get("swap_atoms") is not None:
+            molsys.swap_atom_keys(kw["swap_atoms"])
+        if kw.get("forcefield") is not None:
+            molsys.decipher_atom_keys(kw["forcefield"])
+        return molsys
+
+    def _decode_frame(self, lines: list[str]) -> dict:
+        out: dict = {}
+        elements = []
+        coordinates = []
+        for ln in lines:
+            if ln[:6] == "REMARK":
+                out.setdefault("REMARKS", []).append(ln[6:])
+            elif ln[:6] == "CRYST1":
+                cryst = np.array(
+                    [
+                        ln[6:15],
+                        ln[15:24],
+                        ln[24:33],
+                        ln[33:40],
+                        ln[40:47],
+                        ln[47:54],
+                    ],
+                    dtype=float,
+                )
+                if cryst[0:3].sum() != 0:
+                    out["CRYST1"] = cryst
+            elif ln[:6] in ("HETATM", "ATOM  "):
+                elements.append(ln[12:16].strip())
+                coordinates.append([ln[30:38], ln[38:46], ln[46:54]])
+        out["atom_ids"] = np.array(elements, dtype="<U8")
+        out["coordinates"] = np.array(coordinates, dtype=float)
+        return out

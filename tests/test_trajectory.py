@@ -1,0 +1,116 @@
+"""DL_POLY trajectory engine tests on HISTORY_singlemol_short
+(20 frames x 168 atoms, keytrj=0, imcon=0)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import pywindow_tpu as pw
+from pywindow_tpu.trajectory import TrajectoryError
+from tests.conftest import DATA
+
+HISTORY = DATA / "HISTORY_singlemol_short"
+
+
+@pytest.fixture(scope="module")
+def traj():
+    return pw.DLPOLY(HISTORY)
+
+
+def test_mapping(traj):
+    assert traj.no_of_frames == 20
+    assert traj.no_of_atoms == 168
+    assert traj.periodic_boundary == "nonperiodic"
+    assert traj.content_type == "coordinates"
+
+
+def test_get_frame(traj):
+    frames = traj.get_frames(0)
+    molsys = frames[0]
+    assert len(molsys.system["atom_ids"]) == 168
+    assert molsys.system["coordinates"].shape == (168, 3)
+    # OPLS atom keys with the conflicting 'he' swapped to H
+    # (reference: examples/example_7.py:33-37)
+    molsys.swap_atom_keys({"he": "H"})
+    molsys.decipher_atom_keys("OPLS")
+    assert set(molsys.system["elements"]) <= {"C", "H", "N", "Ni"}
+
+
+def test_get_frames_ranges(traj):
+    assert sorted(traj.get_frames([1, 3])) == [1, 3]
+    assert sorted(traj.get_frames((4, 6))) == [4, 5]
+    raw = traj.get_frames(7, extract_data=False, override=True)
+    assert isinstance(raw[7], str) and "timestep" in raw[7]
+
+
+def test_analysis_and_resume(traj, tmp_path):
+    traj.analysis_output = {}
+    traj.analysis(frames=[0, 1], forcefield="opls", swap_atoms={"he": "H"})
+    assert sorted(traj.analysis_output) == [0, 1]
+    props = traj.analysis_output[0]["0"]
+    assert props["pore_diameter"]["diameter"] > 0
+    assert props["windows"]["diameters"] is not None
+    # resume: already-analysed frames skipped (marker object unchanged)
+    marker = traj.analysis_output[0]
+    traj.analysis(frames=[0, 2], forcefield="opls", swap_atoms={"he": "H"})
+    assert traj.analysis_output[0] is marker
+    assert 2 in traj.analysis_output
+    # save
+    out = tmp_path / "analysis.json"
+    traj.save_analysis(out)
+    data = json.load(open(out))
+    assert set(data) == {"0", "1", "2"}
+
+
+def test_frame_independence_matches_single(traj):
+    """Frame 0 analysed via trajectory == analysed via Molecule API."""
+    molsys = traj.get_frames(0, override=True)[0]
+    molsys.swap_atom_keys({"he": "H"})
+    molsys.decipher_atom_keys("OPLS")
+    mol = molsys.system_to_molecule()
+    props = mol.full_analysis()
+    traj_props = traj.analysis_output[0]["0"]
+    assert props["pore_diameter"]["diameter"] == pytest.approx(
+        traj_props["pore_diameter"]["diameter"], abs=1e-10
+    )
+
+
+def test_save_frames(traj, tmp_path):
+    traj.save_frames(0, tmp_path / "f.pdb", forcefield="opls", swap_atoms={"he": "H"})
+    text = (tmp_path / "f_0.pdb").read_text()
+    assert text.count("ATOM") == 168
+
+
+def test_discontinuous_history_rejected(tmp_path):
+    bad = tmp_path / "HISTORY_bad"
+    text = HISTORY.read_text()
+    # rewind a later frame's timestep to break monotonicity
+    assert "timestep    146857" in text
+    bad.write_text(
+        text.replace("timestep    146857", "timestep         1")
+    )
+    with pytest.raises(TrajectoryError):
+        pw.DLPOLY(bad)
+
+
+def test_xyz_trajectory_roundtrip(tmp_path, traj):
+    """Write frames as an XYZ trajectory, read back with pw.XYZ."""
+    sys0 = traj.get_frames(0, override=True)[0].system
+    sys1 = traj.get_frames(1)[1].system
+    out = tmp_path / "two.xyz"
+    blocks = []
+    for s in (sys0, sys1):
+        lines = [str(len(s["atom_ids"])), "frame"]
+        lines += [
+            f"{el} {x:.6f} {y:.6f} {z:.6f}"
+            for el, (x, y, z) in zip(s["atom_ids"], s["coordinates"])
+        ]
+        blocks.append("\n".join(lines))
+    out.write_text("\n".join(blocks) + "\n")
+    xyz = pw.XYZ(out)
+    assert xyz.no_of_frames == 2
+    f1 = xyz.get_frames(1)[1]
+    np.testing.assert_allclose(
+        f1.system["coordinates"], sys1["coordinates"], atol=1e-5
+    )

@@ -1,0 +1,140 @@
+"""Benchmark: full pore+window analysis throughput on CC3 MD frames.
+
+Workload = the north-star target (BASELINE.md): complete ``full_analysis``
+(COM, max/avg diameter, pore, optimised pore, window detection +
+refinement) per trajectory frame of the CC3 cage (168 atoms), from the
+DL_POLY fixture.  The TPU path runs the fused batched pipeline; the
+baseline is the reference pywindow implementation measured on this
+host's CPU (serial, its default mode).
+
+Prints ONE json line:
+  {"metric": ..., "value": frames/s, "unit": "frames/s",
+   "vs_baseline": speedup}
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).parent
+HISTORY = REPO / "tests" / "data" / "HISTORY_singlemol_short"
+BATCH = 120
+STEADY_REPS = 3
+REF_FRAMES = 2
+
+
+def _decode_frames():
+    import pywindow_tpu as pw
+
+    traj = pw.DLPOLY(HISTORY)
+    systems = []
+    for f in range(traj.no_of_frames):
+        molsys = traj.get_frames(f)[f]
+        molsys.swap_atom_keys({"he": "H"})
+        molsys.decipher_atom_keys("OPLS")
+        systems.append(
+            (molsys.system["elements"], molsys.system["coordinates"])
+        )
+    return systems
+
+
+def measure_tpu(systems) -> float:
+    """Steady-state frames/sec of the batched device pipeline."""
+    import jax
+
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.ops.analysis import (
+        full_analysis_device,
+        static_sizes,
+    )
+    from pywindow_tpu.ops.encoding import encode_batch
+    from pywindow_tpu.ops.geometry import max_dim
+
+    batch = [systems[i % len(systems)] for i in range(BATCH)]
+    mols = encode_batch(batch)
+    first = jax.tree_util.tree_map(lambda x: x[0], mols)
+    maxd = float(max_dim(first)[2])
+    n_win, n_avg, l1, l2 = static_sizes(maxd, DEFAULT_CONFIG)
+
+    step = jax.jit(
+        jax.vmap(
+            lambda m: full_analysis_device(
+                m,
+                n_points_windows=n_win,
+                n_points_avg=n_avg,
+                l1=l1,
+                l2=l2,
+                cfg=DEFAULT_CONFIG,
+            )
+        )
+    )
+    out = step(mols)  # compile + first run
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(STEADY_REPS):
+        out = step(mols)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / STEADY_REPS
+    # sanity: real results
+    pore = np.asarray(out.pore_diameter)
+    assert np.all(np.abs(pore - 5.0) < 2.0), pore[:4]
+    return BATCH / dt
+
+
+def measure_reference(systems) -> float:
+    """Reference pywindow frames/sec (serial CPU), rdkit stubbed."""
+    import logging
+    import types
+
+    rk = types.ModuleType("rdkit")
+    ch = types.ModuleType("rdkit.Chem")
+    inchi = types.ModuleType("rdkit.Chem.inchi")
+    inchi.logger = logging.getLogger("rdkit")
+    rk.Chem = ch
+    ch.inchi = inchi
+    sys.modules.setdefault("rdkit", rk)
+    sys.modules.setdefault("rdkit.Chem", ch)
+    sys.modules.setdefault("rdkit.Chem.inchi", inchi)
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from pywindow._internal.molecular import (
+            MolecularSystem as RefSystem,
+        )
+    except Exception:
+        return float("nan")
+
+    t0 = time.perf_counter()
+    for elements, coords in systems[:REF_FRAMES]:
+        molsys = RefSystem.load_system(
+            {"elements": elements, "coordinates": coords}
+        )
+        mol = molsys.system_to_molecule()
+        mol.full_analysis()
+    dt = time.perf_counter() - t0
+    return REF_FRAMES / dt
+
+
+def main() -> None:
+    systems = _decode_frames()
+    tpu_fps = measure_tpu(systems)
+    ref_fps = measure_reference(systems)
+    vs = tpu_fps / ref_fps if ref_fps == ref_fps else None
+    print(
+        json.dumps(
+            {
+                "metric": "cc3_full_analysis_throughput",
+                "value": round(tpu_fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

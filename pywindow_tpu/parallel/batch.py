@@ -1,0 +1,94 @@
+"""Batched full-analysis over many frames/molecules, sharded over devices.
+
+This is the TPU-native replacement for the reference's process pools:
+a (B, N) padded batch of molecules runs the complete analysis pipeline
+as one ``vmap``-ed, device-sharded jit.  Throughput scales with both the
+batch axis (pipeline parallelism inside a chip) and the mesh axis
+(frames sharded across chips over ICI).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from pywindow_tpu.config import DEFAULT_CONFIG, AnalysisConfig
+from pywindow_tpu.ops.analysis import (
+    FullAnalysis,
+    full_analysis_device,
+    static_sizes,
+    to_properties_dict,
+)
+from pywindow_tpu.ops.encoding import MolArrays, encode_batch
+from pywindow_tpu.parallel.mesh import (
+    batch_sharding,
+    frame_mesh,
+    pad_batch_to_devices,
+)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
+    fn = functools.partial(
+        full_analysis_device,
+        n_points_windows=n_win,
+        n_points_avg=n_avg,
+        l1=l1,
+        l2=l2,
+        cfg=cfg,
+    )
+    batched = jax.vmap(fn)
+    if mesh_key is None:
+        return jax.jit(batched)
+    mesh = frame_mesh()
+    sharding = batch_sharding(mesh)
+    shardings = MolArrays(
+        coords=sharding, mass=sharding, vdw=sharding, cov=sharding,
+        mask=sharding,
+    )
+    return jax.jit(batched, in_shardings=(shardings,))
+
+
+def analyze_batch(
+    systems: list[tuple[np.ndarray, np.ndarray]],
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    reference_max_diameter: float | None = None,
+    shard: bool | None = None,
+    pad_atoms: int | None = None,
+) -> list[dict]:
+    """Analyse many (elements, coordinates) systems in one device sweep.
+
+    The sampling-point count is a per-batch static derived from
+    ``reference_max_diameter`` (default: the first system's maximum
+    diameter).  For trajectory frames of one system this matches the
+    reference's per-frame point count except at log-scale boundaries,
+    where diameters may differ by ~1e-3 A; pass an explicit value to pin
+    it.  Returns one reference-schema properties dict per system.
+    """
+    if not systems:
+        return []
+    n_dev = len(jax.devices())
+    if shard is None:
+        shard = n_dev > 1
+    b = len(systems)
+    b_pad = pad_batch_to_devices(b, n_dev) if shard else b
+    padded = list(systems) + [systems[0]] * (b_pad - b)
+    mols = encode_batch(padded, pad_to=pad_atoms)
+
+    if reference_max_diameter is None:
+        from pywindow_tpu.ops.geometry import max_dim
+
+        first = jax.tree_util.tree_map(lambda x: x[0], mols)
+        reference_max_diameter = float(max_dim(first)[2])
+    n_win, n_avg, l1, l2 = static_sizes(reference_max_diameter, cfg)
+
+    fn = _compiled_batch_analysis(
+        n_win, n_avg, l1, l2, cfg, mesh_key="frames" if shard else None
+    )
+    res: FullAnalysis = jax.tree_util.tree_map(np.asarray, fn(mols))
+    return [
+        to_properties_dict(jax.tree_util.tree_map(lambda x: x[i], res))
+        for i in range(b)
+    ]

@@ -1,0 +1,36 @@
+"""Device-mesh helpers for frame-parallel analysis.
+
+Frames (and molecules within a system) are completely independent — the
+reference exploits this with ``multiprocessing.Pool`` over frames
+(reference: trajectory.py:553-586); the TPU-native equivalent is a 1-D
+``frames`` mesh axis: batches are sharded across devices and each device
+vmaps over its shard.  No collectives are needed in the math itself; XLA
+inserts the final all-gather of the small per-frame property vectors.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def frame_mesh(devices=None) -> Mesh:
+    """A 1-D mesh over all (or the given) devices, axis name 'frames'."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("frames",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (frame/molecule) axis across the mesh."""
+    return NamedSharding(mesh, PartitionSpec("frames"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def pad_batch_to_devices(n: int, n_devices: int) -> int:
+    """Smallest multiple of n_devices >= n (shard-evenly padding)."""
+    return ((n + n_devices - 1) // n_devices) * n_devices

@@ -177,6 +177,64 @@ class Trajectory:
                 forcefield=forcefield,
             )
 
+    def analysis_batched(
+        self,
+        frames="all",
+        batch_size: int = 64,
+        override: bool = False,
+        modular: bool = False,
+        rebuild: bool = False,
+        swap_atoms: dict | None = None,
+        forcefield: str | None = None,
+        reference_max_diameter: float | None = None,
+    ) -> None:
+        """Device-batched analysis: frames are decoded on the host and
+        swept through the fused pipeline ``batch_size`` at a time,
+        sharded across all available devices.
+
+        This is the TPU-native replacement for the reference's
+        ``ncpus``-process pool (reference: trajectory.py:553-586).
+        Results land in :attr:`analysis_output` with the same schema as
+        :meth:`analysis`.
+        """
+        from pywindow_tpu.parallel.batch import analyze_batch
+
+        todo = self._resolve_frames(frames)
+        if not override:
+            todo = [f for f in todo if f not in self.analysis_output]
+        if not todo:
+            return
+
+        for lo in range(0, len(todo), batch_size):
+            chunk = todo[lo : lo + batch_size]
+            jobs: list[tuple[int, str]] = []  # (frame, molecule key)
+            systems = []
+            for frame in chunk:
+                molsys = self._get_frame(
+                    frame_no=frame,
+                    swap_atoms=swap_atoms,
+                    forcefield=forcefield,
+                )
+                if modular:
+                    molsys.make_modular(rebuild=rebuild)
+                    mols = molsys.molecules
+                else:
+                    mols = {"0": molsys.system_to_molecule()}
+                for key, mol in mols.items():
+                    jobs.append((frame, str(key)))
+                    systems.append((mol.elements, mol.coordinates))
+            results = analyze_batch(
+                systems,
+                reference_max_diameter=reference_max_diameter,
+            )
+            for idx, ((frame, key), props) in enumerate(
+                zip(jobs, results)
+            ):
+                props = dict(props)
+                props.pop("molecular_weight", None)
+                props["no_of_atoms"] = len(systems[idx][0])
+                self.analysis_output.setdefault(frame, {})[key] = props
+
     def _analyse_frame(
         self,
         frame: int,

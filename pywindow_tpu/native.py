@@ -1,0 +1,171 @@
+"""ctypes bindings for the native host-side core.
+
+The C++ library (``native/rebuild_core.cpp``) provides the hot
+host-side loops that feed the device pipeline: the exact-parity BFS for
+periodic molecule reconstruction and the DL_POLY frame decoder.  The
+library is built on demand with the system compiler; every caller has a
+pure-numpy fallback, so a missing toolchain only costs speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import pathlib
+import subprocess
+
+import numpy as np
+
+logger = logging.getLogger("pywindow_tpu")
+
+_NATIVE_DIR = pathlib.Path(__file__).parent.parent / "native"
+_SO = _NATIVE_DIR / "libpywindow_native.so"
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError) as exc:
+        logger.info("native build unavailable (%s); using numpy paths", exc)
+        return False
+    return _SO.is_file()
+
+
+def lib() -> ctypes.CDLL | None:
+    """The loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    src = _NATIVE_DIR / "rebuild_core.cpp"
+    if not _SO.is_file() or (
+        src.is_file() and src.stat().st_mtime > _SO.stat().st_mtime
+    ):
+        if not _build():
+            return None
+    try:
+        L = ctypes.CDLL(str(_SO))
+    except OSError as exc:  # pragma: no cover
+        logger.info("native library failed to load (%s)", exc)
+        return None
+
+    c_d = ctypes.POINTER(ctypes.c_double)
+    c_u8 = ctypes.POINTER(ctypes.c_uint8)
+    c_i64 = ctypes.POINTER(ctypes.c_int64)
+    c_i32 = ctypes.POINTER(ctypes.c_int32)
+    L.pw_bfs_molecule.restype = ctypes.c_long
+    L.pw_bfs_molecule.argtypes = [
+        ctypes.c_long, c_d, c_d, c_u8, c_i64,
+        ctypes.c_long, c_d, c_d, c_u8, c_i64, c_i64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_long,
+        c_u8, c_i32, c_i64, ctypes.c_long,
+    ]
+    L.pw_decode_dlpoly_frame.restype = ctypes.c_long
+    L.pw_decode_dlpoly_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        c_d, ctypes.c_char_p, c_d, ctypes.c_long,
+    ]
+    _LIB = L
+    return _LIB
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def bfs_molecule(
+    seed: int,
+    unassigned: np.ndarray,
+    coords: np.ndarray,
+    cov: np.ndarray,
+    heavy: np.ndarray,
+    key_id: np.ndarray,
+    scoords: np.ndarray | None,
+    scov: np.ndarray | None,
+    sheavy: np.ndarray | None,
+    skey_id: np.ndarray | None,
+    s_match_unit: np.ndarray | None,
+    max_dist: float,
+    tol: float,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native BFS for one molecule; returns (src, idx) arrays or None if
+    the native library is unavailable.  ``unassigned`` is mutated."""
+    L = lib()
+    if L is None:
+        return None
+    n = len(coords)
+    ns = 0 if scoords is None else len(scoords)
+    if ns == 0:
+        scoords = np.zeros((0, 3))
+        scov = np.zeros(0)
+        sheavy = np.zeros(0, dtype=np.uint8)
+        skey_id = np.zeros(0, dtype=np.int64)
+        s_match_unit = np.zeros(0, dtype=np.int64)
+    cap = n + ns
+    out_src = np.empty(cap, dtype=np.int32)
+    out_idx = np.empty(cap, dtype=np.int64)
+    got = L.pw_bfs_molecule(
+        n,
+        _ptr(np.ascontiguousarray(coords), ctypes.c_double),
+        _ptr(np.ascontiguousarray(cov), ctypes.c_double),
+        _ptr(np.ascontiguousarray(heavy, dtype=np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(key_id, dtype=np.int64), ctypes.c_int64),
+        ns,
+        _ptr(np.ascontiguousarray(scoords), ctypes.c_double),
+        _ptr(np.ascontiguousarray(scov), ctypes.c_double),
+        _ptr(np.ascontiguousarray(sheavy, dtype=np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(skey_id, dtype=np.int64), ctypes.c_int64),
+        _ptr(
+            np.ascontiguousarray(s_match_unit, dtype=np.int64),
+            ctypes.c_int64,
+        ),
+        float(max_dist),
+        float(tol),
+        int(seed),
+        _ptr(unassigned, ctypes.c_uint8),
+        _ptr(out_src, ctypes.c_int32),
+        _ptr(out_idx, ctypes.c_int64),
+        cap,
+    )
+    if got < 0:  # pragma: no cover - capacity bound is n + ns
+        return None
+    return out_src[:got], out_idx[:got]
+
+
+def decode_dlpoly_frame(
+    raw: bytes, keytrj: int, has_cell: bool, n_atoms_hint: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None] | None:
+    """Native text decode of one HISTORY frame.
+
+    Returns (atom_ids '<U8', coordinates (N,3), lattice (3,3) or None),
+    or None when the native library is unavailable / parsing fails.
+    """
+    L = lib()
+    if L is None:
+        return None
+    cap = max(n_atoms_hint, 1)
+    ids = ctypes.create_string_buffer(cap * 9)
+    xyz = np.empty((cap, 3), dtype=np.float64)
+    cell = np.zeros((3, 3), dtype=np.float64)
+    got = L.pw_decode_dlpoly_frame(
+        raw,
+        len(raw),
+        int(keytrj),
+        int(bool(has_cell)),
+        _ptr(cell, ctypes.c_double),
+        ids,
+        _ptr(xyz, ctypes.c_double),
+        cap,
+    )
+    if got < 0:
+        return None
+    id_arr = np.frombuffer(ids.raw, dtype="S9", count=got).astype("<U8")
+    lattice = cell.T if has_cell else None
+    return id_arr, xyz[:got].copy(), lattice

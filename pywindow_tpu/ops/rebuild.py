@@ -84,6 +84,7 @@ def discrete_molecules(
     system: dict,
     rebuild: dict | None = None,
     tol: float = 0.4,
+    use_native: bool = True,
 ) -> list[dict]:
     """Split a system into bonded molecules, reference-identical ordering.
 
@@ -177,12 +178,100 @@ def discrete_molecules(
     unassigned = np.ones(n, dtype=bool)
     molecules: list[dict] = []
 
+    # --- native-core preparation (value-identity key interning) -------
+    native_ctx = None
+    if use_native:
+        from pywindow_tpu import native as _native
+
+        if _native.lib() is not None:
+            key_of: dict = {}
+
+            def intern(el, aid, xyz):
+                k = (el, aid, xyz[0], xyz[1], xyz[2])
+                return key_of.setdefault(k, len(key_of)), k
+
+            key_id = np.empty(n, dtype=np.int64)
+            unit_by_key: dict = {}
+            dup_keys = False
+            for i in range(n):
+                kid, k = intern(
+                    elements[i],
+                    None if atom_ids is None else atom_ids[i],
+                    coords[i],
+                )
+                key_id[i] = kid
+                if k in unit_by_key:
+                    dup_keys = True
+                unit_by_key[k] = i
+            skey_id = smatch = None
+            if rebuild is not None:
+                ns = len(s_elements)
+                skey_id = np.empty(ns, dtype=np.int64)
+                smatch = np.full(ns, -1, dtype=np.int64)
+                for j in range(ns):
+                    kid, k = intern(
+                        s_elements[j],
+                        None if s_atom_ids is None else s_atom_ids[j],
+                        s_coords[j],
+                    )
+                    skey_id[j] = kid
+                    if k in unit_by_key:
+                        smatch[j] = unit_by_key[k]
+            if not dup_keys:  # duplicate-value atoms need the full scan
+                native_ctx = {
+                    "key_id": key_id,
+                    "skey_id": skey_id,
+                    "smatch": smatch,
+                    "heavy_u8": heavy.astype(np.uint8),
+                    "sheavy_u8": (
+                        s_heavy.astype(np.uint8)
+                        if rebuild is not None
+                        else None
+                    ),
+                    "bfs": _native.bfs_molecule,
+                }
+
     while unassigned.any():
         cand = unassigned & heavy
         if not cand.any():
             break
         d0 = _sklearn_dist_to_point(coords[cand], pseudo_origin)
         seed = np.flatnonzero(cand)[np.argmin(d0)]
+
+        if native_ctx is not None:
+            un_u8 = unassigned.astype(np.uint8)
+            got = native_ctx["bfs"](
+                int(seed),
+                un_u8,
+                coords,
+                cov,
+                native_ctx["heavy_u8"],
+                native_ctx["key_id"],
+                s_coords if rebuild is not None else None,
+                s_cov if rebuild is not None else None,
+                native_ctx["sheavy_u8"],
+                native_ctx["skey_id"],
+                native_ctx["smatch"],
+                max_dist,
+                tol,
+            )
+            if got is not None:
+                unassigned[:] = un_u8.astype(bool)
+                src_arr, idx_arr = got
+                mol_entries = [
+                    ("u" if s == 0 else "s", int(i))
+                    for s, i in zip(src_arr, idx_arr)
+                ]
+                mol = _assemble_molecule(
+                    mol_entries, elements, atom_ids, coords,
+                    s_elements if rebuild is not None else None,
+                    s_atom_ids if rebuild is not None else None,
+                    s_coords if rebuild is not None else None,
+                )
+                if _keep_molecule(mol, rebuild, matrix, boundary):
+                    molecules.append(mol)
+                continue
+            native_ctx = None  # native path failed; fall back for good
 
         # BFS.  Each frontier entry is (source, index) with source 'u'
         # (unit cell) or 's' (supercell); discovery order must match the
@@ -273,38 +362,54 @@ def discrete_molecules(
                 if src == "u":
                     unassigned[j] = False
 
-        mol_elements = np.array(
+        mol = _assemble_molecule(
+            mol_entries, elements, atom_ids, coords,
+            s_elements if rebuild is not None else None,
+            s_atom_ids if rebuild is not None else None,
+            s_coords if rebuild is not None else None,
+        )
+        if _keep_molecule(mol, rebuild, matrix, boundary):
+            molecules.append(mol)
+    return molecules
+
+
+def _assemble_molecule(
+    mol_entries, elements, atom_ids, coords, s_elements, s_atom_ids,
+    s_coords,
+) -> dict:
+    mol_elements = np.array(
+        [
+            elements[i] if src == "u" else s_elements[i]
+            for src, i in mol_entries
+        ],
+        dtype="str",
+    )
+    mol_coords = np.array(
+        [
+            coords[i] if src == "u" else s_coords[i]
+            for src, i in mol_entries
+        ]
+    )
+    out = {"elements": mol_elements, "coordinates": mol_coords}
+    if atom_ids is not None:
+        out["atom_ids"] = np.array(
             [
-                elements[i] if src == "u" else s_elements[i]
+                atom_ids[i] if src == "u" else s_atom_ids[i]
                 for src, i in mol_entries
             ],
             dtype="str",
         )
-        mol_coords = np.array(
-            [
-                coords[i] if src == "u" else s_coords[i]
-                for src, i in mol_entries
-            ]
-        )
-        out = {"elements": mol_elements, "coordinates": mol_coords}
-        if atom_ids is not None:
-            out["atom_ids"] = np.array(
-                [
-                    atom_ids[i] if src == "u" else s_atom_ids[i]
-                    for src, i in mol_entries
-                ],
-                dtype="str",
-            )
-        keep = True
-        if rebuild is not None:
-            com = _center_of_mass(mol_elements, mol_coords)
-            com_frac = np.around(cart_to_frac(com, matrix), 8)
-            keep = bool(
-                np.all((com_frac >= boundary[0]) & (com_frac < boundary[1]))
-            )
-        if keep:
-            molecules.append(out)
-    return molecules
+    return out
+
+
+def _keep_molecule(mol: dict, rebuild, matrix, boundary) -> bool:
+    if rebuild is None:
+        return True
+    com = _center_of_mass(mol["elements"], mol["coordinates"])
+    com_frac = np.around(cart_to_frac(com, matrix), 8)
+    return bool(
+        np.all((com_frac >= boundary[0]) & (com_frac < boundary[1]))
+    )
 
 
 def _matches_unassigned(

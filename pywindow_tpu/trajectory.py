@@ -66,6 +66,10 @@ class Trajectory:
     def _decode_frame(self, frame: list) -> dict:
         raise NotImplementedError
 
+    def _decode_raw(self, raw: str) -> dict:
+        frame = [ln.split() for ln in raw.split("\n")][:-1]
+        return self._decode_frame(frame)
+
     def _frame_slice(self, frame_no: int) -> bytes:
         start, end = self.trajectory_map[frame_no]
         with (
@@ -85,9 +89,8 @@ class Trajectory:
         raw = self._frame_slice(frame_no).decode("utf-8")
         if not extract_data:
             return raw
-        frame = [ln.split() for ln in raw.split("\n")][:-1]
         molsys = MolecularSystem.load_system(
-            self._decode_frame(frame),
+            self._decode_raw(raw),
             "_".join([self.system_id, str(frame_no)]),
         )
         if swap_atoms is not None:
@@ -386,6 +389,43 @@ class DLPOLY(Trajectory):
         self.periodic_boundary = self.IMCON[imcon]
         self.content_type = self.KEYTRJ[keytrj]
         self.no_of_atoms = natms
+
+    def _decode_raw(self, raw: str) -> dict:
+        """Decode one HISTORY frame, native text parser when available.
+
+        The C++ parser covers the coordinates-only case (keytrj=0); the
+        Python path handles velocities/forces and acts as the fallback.
+        """
+        head = raw[: raw.find("\n")].split()
+        info = {
+            "nstep": int(head[1]),
+            "natms": int(head[2]),
+            "keytrj": int(head[3]),
+            "imcon": int(head[4]),
+            "tstep": float(head[5]),
+        }
+        if info["keytrj"] == 0:
+            from pywindow_tpu import native
+
+            got = native.decode_dlpoly_frame(
+                raw.encode(),
+                keytrj=0,
+                has_cell=info["imcon"] in (1, 2, 3),
+                n_atoms_hint=info["natms"],
+            )
+            if got is not None and len(got[0]) == info["natms"]:
+                ids, coords, lattice = got
+                out = {
+                    "frame_info": info,
+                    "atom_ids": ids,
+                    "coordinates": coords,
+                }
+                if lattice is not None:
+                    out["lattice"] = lattice
+                    out["unit_cell"] = lattice_array_to_unit_cell(lattice)
+                return out
+        frame = [ln.split() for ln in raw.split("\n")][:-1]
+        return self._decode_frame(frame)
 
     def _decode_frame(self, frame: list) -> dict:
         """Decode one HISTORY frame (reference: trajectory.py:712-766)."""

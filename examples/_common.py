@@ -1,0 +1,37 @@
+"""Shared helpers for the example scripts."""
+
+import pathlib
+import sys
+
+# allow running the examples straight from a checkout
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+
+import pywindow_tpu as pw
+
+DATA = pathlib.Path(__file__).parent.parent / "tests" / "data"
+
+
+def check(name: str, properties: dict, expected: dict, atol=0.01) -> None:
+    """Validate computed properties against expected values (<atol A).
+
+    Only the keys present in ``expected`` are compared.
+    """
+    subset = {k: properties[k] for k in expected if k in properties}
+    ok, prop = pw.compare_properties_dict(subset, expected, atol=atol)
+    if not ok:
+        msg = f"{name}: property {prop!r} disagrees beyond {atol}"
+        raise RuntimeError(msg)
+    print(f"  {name}: OK")
+
+
+def summarise(name: str, p: dict) -> None:
+    wins = p["windows"]["diameters"]
+    wins = None if wins is None else np.round(np.sort(wins), 3)
+    print(
+        f"  {name}: pore {p['pore_diameter']['diameter']:.3f} A, "
+        f"pore_opt {p['pore_diameter_opt']['diameter']:.3f} A, "
+        f"max {p['maximum_diameter']['diameter']:.3f} A, "
+        f"windows {wins}"
+    )

@@ -1,0 +1,70 @@
+"""Example 1: full structural analysis of porous organic cages (XYZ).
+
+Mirrors reference examples/example_1.py: four cages with 0/2/3/6
+windows, validated against the published golden values.
+"""
+
+import numpy as np
+
+from _common import DATA, check, summarise
+
+import pywindow_tpu as pw
+
+EXPECTED = {
+    "YAQHOQ": {
+        "no_of_atoms": 60,
+        "pore_diameter": {"diameter": 3.6101512374999996},
+        "pore_diameter_opt": {"diameter": 3.6289753088227567},
+        "maximum_diameter": {"diameter": 10.495186228619611},
+        "windows": {"diameters": None, "centre_of_mass": None},
+    },
+    "BATVUP": {
+        "no_of_atoms": 108,
+        "pore_diameter": {"diameter": 4.836533719851611},
+        "pore_diameter_opt": {"diameter": 4.952486856634778},
+        "windows": {
+            "diameters": np.array([3.729380286546027, 3.3414604104301676])
+        },
+    },
+    "NUXHIZ": {
+        "no_of_atoms": 138,
+        "pore_diameter": {"diameter": 8.746544980478657},
+        "windows": {
+            "diameters": np.array(
+                [6.503653849037591, 7.903902924542914, 7.269555216539536]
+            )
+        },
+    },
+    "REYMAL": {
+        "no_of_atoms": 468,
+        "pore_diameter": {"diameter": 13.756213728436612},
+        "pore_diameter_opt": {"diameter": 13.756737988344343},
+    },
+}
+
+
+def main() -> None:
+    for name, expected in EXPECTED.items():
+        molsys = pw.MolecularSystem.load_file(DATA / f"{name}.xyz")
+        mol = molsys.system_to_molecule()
+        props = dict(mol.full_analysis())
+        summarise(name, props)
+        # windows are unordered: sort both before comparing
+        if props["windows"]["diameters"] is not None:
+            props = {
+                **props,
+                "windows": {
+                    **props["windows"],
+                    "diameters": np.sort(props["windows"]["diameters"]),
+                },
+            }
+        if expected.get("windows", {}).get("diameters") is not None:
+            expected["windows"]["diameters"] = np.sort(
+                expected["windows"]["diameters"]
+            )
+            expected["windows"].pop("centre_of_mass", None)
+        check(name, props, expected)
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,46 @@ class Molecule:
         self._ensure_analysis()
         return self.properties["windows"]["diameters"]
 
+    def _align_to_principal_axes(self, align_molsys: bool = False) -> None:
+        """Rotate the molecule onto its principal axes.
+
+        Fixes the reference bug of assigning to ``coordinates[0]``
+        (reference: molecular.py:204-213).
+        """
+        if align_molsys:
+            raise NotImplementedError
+        from pywindow_tpu.utilities import align_principal_ax
+
+        self.coordinates, _ = align_principal_ax(
+            self.elements, self.coordinates
+        )
+        self.mol["coordinates"] = self.coordinates
+        self.aligned_to_principal_axes = True
+
+    def calculate_shape_descriptors(self) -> dict:
+        """Asphericity, acylindricity and relative shape anisotropy from
+        the inertia-tensor eigenvalues (reference: utilities.py:626-650,
+        which never exposed them on Molecule)."""
+        from pywindow_tpu.utilities import (
+            calc_acylidricity,
+            calc_asphericity,
+            calc_relative_shape_anisotropy,
+        )
+
+        descriptors = {
+            "asphericity": calc_asphericity(
+                self.elements, self.coordinates
+            ),
+            "acylidricity": calc_acylidricity(
+                self.elements, self.coordinates
+            ),
+            "relative_shape_anisotropy": calc_relative_shape_anisotropy(
+                self.elements, self.coordinates
+            ),
+        }
+        self.properties["shape_descriptors"] = descriptors
+        return descriptors
+
     def shift_to_origin(self) -> None:
         """Translate so the COM coincides with the origin
         (reference: molecular.py:354-366)."""

@@ -165,11 +165,20 @@ def analyze(
     Two-phase: a cheap device call gets the maximum diameter, from which
     the static sampling shapes are derived; then the fused pipeline runs.
     """
-    mol = encode(elements, coordinates, pad_to=pad_to)
-    maxd = float(_compiled_max_dim()(mol)[2])
-    n_win, n_avg, l1, l2 = static_sizes(maxd, cfg)
-    res = _compiled_full_analysis(n_win, n_avg, l1, l2, cfg)(mol)
-    return to_properties_dict(jax.tree_util.tree_map(np.asarray, res))
+    from pywindow_tpu.profiling import METRICS, stage
+
+    with stage("encode"):
+        mol = encode(elements, coordinates, pad_to=pad_to)
+    with stage("static_sizes"):
+        maxd = float(_compiled_max_dim()(mol)[2])
+        n_win, n_avg, l1, l2 = static_sizes(maxd, cfg)
+    with stage("full_analysis"):
+        res = _compiled_full_analysis(n_win, n_avg, l1, l2, cfg)(mol)
+        res = jax.tree_util.tree_map(np.asarray, res)
+    METRICS.count("molecules_analysed")
+    METRICS.count("windows_found", int(np.sum(res.windows.valid)))
+    METRICS.count("window_refines_failed", int(np.sum(res.windows.refine_failed)))
+    return to_properties_dict(res)
 
 
 def to_properties_dict(res: FullAnalysis) -> dict:

@@ -84,10 +84,17 @@ def analyze_batch(
         reference_max_diameter = float(max_dim(first)[2])
     n_win, n_avg, l1, l2 = static_sizes(reference_max_diameter, cfg)
 
+    from pywindow_tpu.profiling import METRICS, stage
+
     fn = _compiled_batch_analysis(
         n_win, n_avg, l1, l2, cfg, mesh_key="frames" if shard else None
     )
-    res: FullAnalysis = jax.tree_util.tree_map(np.asarray, fn(mols))
+    with stage("batch_analysis"):
+        res: FullAnalysis = jax.tree_util.tree_map(np.asarray, fn(mols))
+    METRICS.count("molecules_analysed", b)
+    METRICS.count(
+        "windows_found", int(np.sum(np.asarray(res.windows.valid)[:b]))
+    )
     return [
         to_properties_dict(jax.tree_util.tree_map(lambda x: x[i], res))
         for i in range(b)

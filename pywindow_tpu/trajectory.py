@@ -27,6 +27,7 @@ from pywindow_tpu.molecular import MolecularSystem
 from pywindow_tpu.ops.cell import (
     create_supercell,
     lattice_array_to_unit_cell,
+    unit_cell_to_lattice_array,
 )
 from pywindow_tpu.utilities import is_number
 
@@ -616,6 +617,12 @@ class PDB(Trajectory):
                 )
                 if cryst[0:3].sum() != 0:
                     out["CRYST1"] = cryst
+                    # make the cell usable by the rebuild pipeline (the
+                    # reference left CRYST1 unconverted, so periodic PDB
+                    # trajectories could never rebuild —
+                    # trajectory.py:1022-1037)
+                    out["unit_cell"] = cryst
+                    out["lattice"] = unit_cell_to_lattice_array(cryst)
             elif ln[:6] in ("HETATM", "ATOM  "):
                 elements.append(ln[12:16].strip())
                 coordinates.append([ln[30:38], ln[38:46], ln[46:54]])

@@ -26,6 +26,115 @@ from pywindow_tpu.ops.cell import (  # noqa: F401
 )
 
 
+def _encode(elements, coordinates):
+    from pywindow_tpu.ops.encoding import encode
+
+    return encode(np.asarray(elements), np.asarray(coordinates))
+
+
+def get_gyration_tensor(elements, coordinates) -> np.ndarray:
+    """COM-corrected gyration tensor / N (reference: utilities.py:461-495)."""
+    from pywindow_tpu.ops import geometry
+
+    return np.asarray(geometry.gyration_tensor(_encode(elements, coordinates)))
+
+
+def get_inertia_tensor(elements, coordinates) -> np.ndarray:
+    """Inertia tensor / N, reference quirks reproduced
+    (reference: utilities.py:498-529)."""
+    from pywindow_tpu.ops import geometry
+
+    return np.asarray(geometry.inertia_tensor(_encode(elements, coordinates)))
+
+
+def _sorted_inertia_eigenvalues(elements, coordinates) -> np.ndarray:
+    from pywindow_tpu.ops import geometry
+
+    t = geometry.inertia_tensor(_encode(elements, coordinates))
+    return np.asarray(geometry.sorted_eigenvalues(t))
+
+
+def calc_asphericity(elements, coordinates) -> float:
+    """reference: utilities.py:626-632."""
+    e = _sorted_inertia_eigenvalues(elements, coordinates)
+    return float(e[0] - (e[1] + e[2]) / 2)
+
+
+def calc_acylidricity(elements, coordinates) -> float:
+    """reference: utilities.py:635-641 (reference spelling kept)."""
+    e = _sorted_inertia_eigenvalues(elements, coordinates)
+    return float(e[1] - e[2])
+
+
+def calc_relative_shape_anisotropy(elements, coordinates) -> float:
+    """reference: utilities.py:644-650."""
+    e = _sorted_inertia_eigenvalues(elements, coordinates)
+    pair = e[0] * e[1] + e[0] * e[2] + e[1] * e[2]
+    return float(1 - 3 * pair / e.sum() ** 2)
+
+
+def principal_axes(elements, coordinates) -> np.ndarray:
+    """Row eigenvectors of the inertia tensor
+    (reference: utilities.py:532-536)."""
+    return np.linalg.eig(get_inertia_tensor(elements, coordinates))[1].T
+
+
+def normalize_vector(vector) -> np.ndarray:
+    """Normalised and rounded to 4 decimals (reference quirk,
+    utilities.py:539-555)."""
+    v = np.divide(vector, np.linalg.norm(vector))
+    return np.round(v, decimals=4)
+
+
+def rotation_matrix_arbitrary_axis(angle: float, axis) -> np.ndarray:
+    """Rotation by ``angle`` radians about ``axis``
+    (reference: utilities.py:558-593)."""
+    axis = normalize_vector(axis)
+    a = np.cos(angle / 2)
+    b, c, d = axis * np.sin(angle / 2)
+    return np.array(
+        [
+            [
+                a * a + b * b - c * c - d * d,
+                2 * (b * c - a * d),
+                2 * (b * d + a * c),
+            ],
+            [
+                2 * (b * c + a * d),
+                a * a + c * c - b * b - d * d,
+                2 * (c * d - a * b),
+            ],
+            [
+                2 * (b * d - a * c),
+                2 * (c * d + a * b),
+                a * a + d * d - b * b - c * c,
+            ],
+        ]
+    )
+
+
+def align_principal_ax(elements, coordinates):
+    """Iteratively rotate so the principal axes align with x/y/z.
+
+    Same scheme as the reference (utilities.py:596-623) but vectorised.
+    Returns (rotated_coordinates, [rotation matrices]).
+    """
+    coor = np.array(coordinates, dtype=np.float64, copy=True)
+    rotations = []
+    for axis_idx, target in zip(
+        (2, 1, 0), ([1, 0, 0], [0, 1, 0], [0, 0, 1])
+    ):
+        p_axes = principal_axes(elements, coor)
+        r_vec = np.cross(p_axes[axis_idx], np.array(target, dtype=float))
+        sin = np.linalg.norm(r_vec)
+        cos = np.dot(p_axes[axis_idx], np.array(target, dtype=float))
+        ang = np.arctan2(sin, cos)
+        r_mat = rotation_matrix_arbitrary_axis(ang, r_vec)
+        rotations.append(r_mat)
+        coor = coor @ r_mat.T
+    return coor, rotations
+
+
 def is_number(value: str) -> bool:
     """True if the string converts to a float
     (reference: utilities.py:45-51)."""
@@ -82,6 +191,13 @@ def compare_properties_dict(
             return (False, prop)
         item1, item2 = dict1[head], dict2[head]
         if len(path) == 2:
+            # nested keys compare only when both sides carry them (the
+            # reference raised KeyError on partial nests); this allows
+            # partial expected dicts in validation scripts.
+            sub1 = isinstance(item1, dict) and path[1] in item1
+            sub2 = isinstance(item2, dict) and path[1] in item2
+            if not (sub1 and sub2):
+                continue
             item1 = item1[path[1]]
             item2 = item2[path[1]]
         if (item1 is None) != (item2 is None):

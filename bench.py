@@ -23,7 +23,7 @@ import numpy as np
 
 REPO = pathlib.Path(__file__).parent
 HISTORY = REPO / "tests" / "data" / "HISTORY_singlemol_short"
-BATCH = 120
+BATCH = 480
 STEADY_REPS = 3
 REF_FRAMES = 2
 

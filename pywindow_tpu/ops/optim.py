@@ -146,17 +146,16 @@ def brute_then_polish(
     upper: jnp.ndarray,
     ns: int,
     maxiter: int = 400,
-    xatol: float = 1e-6,
-    fatol: float = 1e-10,
+    xatol: float = 1e-4,
+    fatol: float = 1e-4,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dense 2-D grid minimisation followed by a Nelder-Mead polish.
 
     Mirrors ``scipy.optimize.brute(..., Ns=ns, finish=fmin)``
     (reference: utilities.py:1312-1317): the grid is ``linspace`` with
     both endpoints included; the polish starts from the best grid point
-    with scipy's default initial-simplex rule.  The polish itself is run
-    tighter than scipy's fmin defaults — both converge to the same basin
-    optimum, this one just closer.
+    with scipy's default initial-simplex rule and fmin's default
+    tolerances (xtol=ftol=1e-4).
     """
     gx = jnp.linspace(lower[0], upper[0], ns)
     gy = jnp.linspace(lower[1], upper[1], ns)

@@ -14,6 +14,7 @@ half-chord ``t_hc`` (reference: utilities.py:1138-1158).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -65,6 +66,47 @@ def mean_knn_eps(points: jnp.ndarray, k: int = 10) -> jnp.ndarray:
     d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     nearest = -jax.lax.top_k(-d, k)[0]  # (P, k) smallest distances per row
     m = jnp.mean(nearest)
+    return m + jnp.sqrt(m)
+
+
+@functools.lru_cache(maxsize=32)
+def _unit_mean_knn(n_points: int, k: int, dtype_name: str) -> float:
+    """Mean k-NN distance of the unit-radius spiral (host constant).
+
+    The spiral layout is fixed by ``n_points``; the k-NN mean scales
+    linearly with the radius, so the P x P distance matrix needs
+    computing once per point count, not once per molecule.  Pure numpy:
+    this runs during tracing, where jnp ops would be staged out.
+    """
+    import numpy as np
+
+    dtype = np.dtype(dtype_name)
+    golden_angle = np.pi * (3.0 - np.sqrt(dtype.type(5.0)))
+    kk = np.arange(n_points, dtype=dtype)
+    theta = golden_angle * kk
+    z = np.linspace(
+        1.0 - 1.0 / n_points, 1.0 / n_points - 1.0, n_points, dtype=dtype
+    )
+    rho = np.sqrt(1.0 - z * z)
+    pts = np.stack(
+        [rho * np.cos(theta), rho * np.sin(theta), z], axis=-1
+    )
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    nearest = np.sort(d, axis=1)[:, :k]
+    return float(nearest.mean())
+
+
+def mean_knn_eps_scaled(
+    n_points: int, radius: jnp.ndarray, k: int = 10
+) -> jnp.ndarray:
+    """eps for a spiral of ``radius``: ``m*r + sqrt(m*r)`` with the
+    unit-sphere k-NN mean ``m`` precomputed per point count.
+
+    Equal to :func:`mean_knn_eps` up to ~1e-15 relative (scaling of the
+    spiral commutes with the distance mean to FP rounding)."""
+    dtype = jnp.result_type(radius, 1.0)
+    m_unit = _unit_mean_knn(n_points, k, jnp.dtype(dtype).name)
+    m = radius * m_unit
     return m + jnp.sqrt(m)
 
 

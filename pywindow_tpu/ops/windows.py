@@ -251,7 +251,7 @@ def find_windows(
     _, _, md = max_dim(shifted)
     radius = md / 2.0
     points = rays.golden_spiral(n_points, radius, dtype=dtype)
-    eps = rays.mean_knn_eps(points)
+    eps = rays.mean_knn_eps_scaled(n_points, radius)
 
     open_pre = rays.preanalysis_open(points, shifted)
     path = rays.path_analysis(points, shifted, cfg.increment, l1)
@@ -266,17 +266,24 @@ def find_windows(
         max_clusters=cfg.max_windows,
     )
 
+    # any valid surviving ray: empty window slots refine this instead of
+    # a garbage vector, so their (discarded) optimiser lanes converge
+    # fast rather than stalling the vmapped batch at max iterations.
+    fallback_sel = jnp.argmax(jnp.where(survives, path.width, -BIG))
+
     def per_cluster(w):
         in_cluster = labels == w
         width_masked = jnp.where(in_cluster, path.width, -BIG)
-        sel = jnp.argmax(width_masked)
-        vector = points[sel]
         exists = (w < n_clusters) & jnp.any(in_cluster)
+        sel = jnp.where(exists, jnp.argmax(width_masked), fallback_sel)
+        vector = points[sel]
         diameter, centre_local, ok = _window_refine(shifted, vector, l2, cfg)
         return diameter, centre_local, exists, exists & ~ok
 
-    diams, centres, exists, failed = jax.lax.map(
-        per_cluster, jnp.arange(cfg.max_windows, dtype=jnp.int32)
+    # vmap (not lax.map): the refinement optimisers are tiny per-lane,
+    # so running all window slots lockstep beats a serial scan ~10x.
+    diams, centres, exists, failed = jax.vmap(per_cluster)(
+        jnp.arange(cfg.max_windows, dtype=jnp.int32)
     )
     valid = exists & ~failed
     centres = centres + centre[None, :]

@@ -118,6 +118,86 @@ def full_analysis_device(
     )
 
 
+def pack_results(res: FullAnalysis) -> jnp.ndarray:
+    """Flatten a FullAnalysis into one float vector (device side).
+
+    Crossing device->host as a single array matters: fetching the ~19
+    separate leaves costs a round-trip each (over a tunneled TPU that is
+    ~100 ms per leaf).  Layout: 13 scalars, COM(3), opt centre(3), then
+    per-window diameters/valid/refine_failed/centres for ``W`` slots.
+    """
+    w = res.windows
+    f = res.pore_diameter.dtype
+    return jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    res.molecular_weight,
+                    res.maximum_diameter,
+                    res.average_diameter,
+                    res.pore_diameter,
+                    res.pore_volume,
+                    res.pore_opt_diameter,
+                    res.pore_opt_volume,
+                    res.maxd_atom_1.astype(f),
+                    res.maxd_atom_2.astype(f),
+                    res.pore_atom.astype(f),
+                    res.pore_opt_atom.astype(f),
+                    w.any_open.astype(f),
+                    w.n_clusters.astype(f),
+                ]
+            ),
+            res.centre_of_mass,
+            res.pore_opt_centre,
+            w.diameters,
+            w.valid.astype(f),
+            w.refine_failed.astype(f),
+            w.centers.reshape(-1),
+        ]
+    )
+
+
+def packed_size(max_windows: int) -> int:
+    return 19 + 6 * max_windows
+
+
+def unpack_results(flat: np.ndarray, max_windows: int) -> FullAnalysis:
+    """Host-side inverse of :func:`pack_results` (numpy arrays)."""
+    wnd = max_windows
+    s = flat[:13]
+    com = flat[13:16]
+    centre = flat[16:19]
+    off = 19
+    diam = flat[off : off + wnd]
+    valid = flat[off + wnd : off + 2 * wnd] > 0.5
+    failed = flat[off + 2 * wnd : off + 3 * wnd] > 0.5
+    centers = flat[off + 3 * wnd : off + 6 * wnd].reshape(wnd, 3)
+    wins = WindowsResult(
+        diameters=diam,
+        centers=centers,
+        valid=valid,
+        any_open=np.bool_(s[11] > 0.5),
+        n_clusters=np.int32(round(float(s[12]))),
+        refine_failed=failed,
+    )
+    return FullAnalysis(
+        molecular_weight=s[0],
+        centre_of_mass=com,
+        maxd_atom_1=np.int64(round(float(s[7]))),
+        maxd_atom_2=np.int64(round(float(s[8]))),
+        maximum_diameter=s[1],
+        average_diameter=s[2],
+        pore_diameter=s[3],
+        pore_atom=np.int64(round(float(s[9]))),
+        pore_volume=s[4],
+        pore_opt_diameter=s[5],
+        pore_opt_atom=np.int64(round(float(s[10]))),
+        pore_opt_centre=centre,
+        pore_opt_volume=s[6],
+        windows=wins,
+    )
+
+
 def static_sizes(
     max_diameter: float, cfg: AnalysisConfig
 ) -> tuple[int, int, int, int]:
@@ -138,20 +218,40 @@ def static_sizes(
 
 @functools.lru_cache(maxsize=64)
 def _compiled_full_analysis(n_win, n_avg, l1, l2, cfg):
-    fn = functools.partial(
-        full_analysis_device,
-        n_points_windows=n_win,
-        n_points_avg=n_avg,
-        l1=l1,
-        l2=l2,
-        cfg=cfg,
-    )
+    def fn(mol):
+        return pack_results(
+            full_analysis_device(
+                mol,
+                n_points_windows=n_win,
+                n_points_avg=n_avg,
+                l1=l1,
+                l2=l2,
+                cfg=cfg,
+            )
+        )
+
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
 def _compiled_max_dim():
     return jax.jit(max_dim)
+
+
+def max_dim_host(elements: np.ndarray, coordinates: np.ndarray) -> float:
+    """Maximum vdW-corrected diameter, host numpy.
+
+    Used only to derive static sampling sizes (a device round-trip per
+    batch is pure latency, especially over a tunneled TPU).
+    """
+    from pywindow_tpu import tables
+
+    ids = tables.element_ids(elements)
+    vdw = tables.ELEMENT_VDW[ids]
+    c = np.asarray(coordinates, dtype=np.float64)
+    diff = c[:, None, :] - c[None, :, :]
+    d = np.sqrt((diff * diff).sum(-1)) + vdw[:, None] + vdw[None, :]
+    return float(np.max(np.triu(d)))
 
 
 def analyze(
@@ -173,8 +273,8 @@ def analyze(
         maxd = float(_compiled_max_dim()(mol)[2])
         n_win, n_avg, l1, l2 = static_sizes(maxd, cfg)
     with stage("full_analysis"):
-        res = _compiled_full_analysis(n_win, n_avg, l1, l2, cfg)(mol)
-        res = jax.tree_util.tree_map(np.asarray, res)
+        flat = _compiled_full_analysis(n_win, n_avg, l1, l2, cfg)(mol)
+        res = unpack_results(np.asarray(flat), cfg.max_windows)
     METRICS.count("molecules_analysed")
     METRICS.count("windows_found", int(np.sum(res.windows.valid)))
     METRICS.count("window_refines_failed", int(np.sum(res.windows.refine_failed)))

@@ -49,21 +49,18 @@ def round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def encode(
+def _encode_host(
     elements: np.ndarray,
     coordinates: np.ndarray,
-    pad_to: int | None = None,
-    dtype: np.dtype | None = None,
-) -> MolArrays:
-    """Encode one molecule's host data into padded device arrays."""
-    dtype = dtype or default_dtype()
+    n_pad: int,
+    dtype: np.dtype,
+) -> tuple[np.ndarray, ...]:
+    """One molecule's padded field arrays, all host-side numpy."""
     ids = tables.element_ids(elements)
     n = len(ids)
-    n_pad = pad_to if pad_to is not None else round_up(max(n, 1), pad_multiple())
     if n_pad < n:
         msg = f"pad_to={n_pad} smaller than atom count {n}"
         raise ValueError(msg)
-
     coords = np.full((n_pad, 3), FAR_AWAY, dtype=dtype)
     coords[:n] = np.asarray(coordinates, dtype=dtype)
     mass = np.zeros(n_pad, dtype=dtype)
@@ -74,13 +71,23 @@ def encode(
     cov[:n] = tables.ELEMENT_COV[ids]
     mask = np.zeros(n_pad, dtype=bool)
     mask[:n] = True
-    return MolArrays(
-        coords=jnp.asarray(coords),
-        mass=jnp.asarray(mass),
-        vdw=jnp.asarray(vdw),
-        cov=jnp.asarray(cov),
-        mask=jnp.asarray(mask),
+    return coords, mass, vdw, cov, mask
+
+
+def encode(
+    elements: np.ndarray,
+    coordinates: np.ndarray,
+    pad_to: int | None = None,
+    dtype: np.dtype | None = None,
+) -> MolArrays:
+    """Encode one molecule's host data into padded device arrays."""
+    dtype = dtype or default_dtype()
+    n = len(elements)
+    n_pad = (
+        pad_to if pad_to is not None else round_up(max(n, 1), pad_multiple())
     )
+    fields = _encode_host(elements, coordinates, n_pad, dtype)
+    return MolArrays(*(jnp.asarray(f) for f in fields))
 
 
 def encode_batch(
@@ -88,9 +95,17 @@ def encode_batch(
     pad_to: int | None = None,
     dtype: np.dtype | None = None,
 ) -> MolArrays:
-    """Encode a list of (elements, coordinates) into one stacked batch."""
+    """Encode a list of (elements, coordinates) into one stacked batch.
+
+    The whole batch is assembled host-side and shipped as ONE transfer
+    per field — per-molecule device puts are latency-bound (painfully so
+    over a tunneled TPU).
+    """
     dtype = dtype or default_dtype()
     n_max = max(len(e) for e, _ in systems)
     n_pad = pad_to if pad_to is not None else round_up(n_max, pad_multiple())
-    mols = [encode(e, c, pad_to=n_pad, dtype=dtype) for e, c in systems]
-    return MolArrays(*(jnp.stack(x) for x in zip(*mols)))
+    per_mol = [
+        _encode_host(e, c, n_pad, dtype) for e, c in systems
+    ]
+    stacked = (np.stack(field) for field in zip(*per_mol))
+    return MolArrays(*(jnp.asarray(f) for f in stacked))

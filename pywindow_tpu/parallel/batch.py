@@ -16,10 +16,12 @@ import numpy as np
 
 from pywindow_tpu.config import DEFAULT_CONFIG, AnalysisConfig
 from pywindow_tpu.ops.analysis import (
-    FullAnalysis,
     full_analysis_device,
+    max_dim_host,
+    pack_results,
     static_sizes,
     to_properties_dict,
+    unpack_results,
 )
 from pywindow_tpu.ops.encoding import MolArrays, encode_batch
 from pywindow_tpu.parallel.mesh import (
@@ -31,14 +33,18 @@ from pywindow_tpu.parallel.mesh import (
 
 @functools.lru_cache(maxsize=32)
 def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
-    fn = functools.partial(
-        full_analysis_device,
-        n_points_windows=n_win,
-        n_points_avg=n_avg,
-        l1=l1,
-        l2=l2,
-        cfg=cfg,
-    )
+    def fn(mol):
+        return pack_results(
+            full_analysis_device(
+                mol,
+                n_points_windows=n_win,
+                n_points_avg=n_avg,
+                l1=l1,
+                l2=l2,
+                cfg=cfg,
+            )
+        )
+
     batched = jax.vmap(fn)
     if mesh_key is None:
         return jax.jit(batched)
@@ -78,10 +84,7 @@ def analyze_batch(
     mols = encode_batch(padded, pad_to=pad_atoms)
 
     if reference_max_diameter is None:
-        from pywindow_tpu.ops.geometry import max_dim
-
-        first = jax.tree_util.tree_map(lambda x: x[0], mols)
-        reference_max_diameter = float(max_dim(first)[2])
+        reference_max_diameter = max_dim_host(*systems[0])
     n_win, n_avg, l1, l2 = static_sizes(reference_max_diameter, cfg)
 
     from pywindow_tpu.profiling import METRICS, stage
@@ -90,12 +93,19 @@ def analyze_batch(
         n_win, n_avg, l1, l2, cfg, mesh_key="frames" if shard else None
     )
     with stage("batch_analysis"):
-        res: FullAnalysis = jax.tree_util.tree_map(np.asarray, fn(mols))
-    METRICS.count("molecules_analysed", b)
-    METRICS.count(
-        "windows_found", int(np.sum(np.asarray(res.windows.valid)[:b]))
-    )
-    return [
-        to_properties_dict(jax.tree_util.tree_map(lambda x: x[i], res))
+        flat = np.asarray(fn(mols))  # ONE device->host transfer
+    results = [
+        to_properties_dict(unpack_results(flat[i], cfg.max_windows))
         for i in range(b)
     ]
+    METRICS.count("molecules_analysed", b)
+    METRICS.count(
+        "windows_found",
+        sum(
+            0
+            if r["windows"]["diameters"] is None
+            else len(r["windows"]["diameters"])
+            for r in results
+        ),
+    )
+    return results

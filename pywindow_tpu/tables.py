@@ -230,14 +230,26 @@ class UnknownElementError(KeyError):
     """Raised when an element symbol has no mass/radius data."""
 
 
+_ENCODE_CACHE: dict = {}
+
+
 def element_ids(elements) -> np.ndarray:
     """Encode an array of element symbols into internal integer ids.
 
     Symbols are matched case-insensitively.  Raises
     :class:`UnknownElementError` for symbols without tabulated data.
+    Encodings are memoised per distinct element sequence (trajectory
+    frames repeat the same sequence thousands of times).
     """
-    ids = np.empty(len(elements), dtype=np.int32)
-    for i, sym in enumerate(elements):
+    arr = np.asarray(elements)
+    key = None
+    if arr.dtype.kind in ("U", "S"):
+        key = (arr.dtype.str, arr.tobytes())
+        cached = _ENCODE_CACHE.get(key)
+        if cached is not None:
+            return cached
+    ids = np.empty(len(arr), dtype=np.int32)
+    for i, sym in enumerate(arr):
         try:
             ids[i] = ELEMENT_INDEX[str(sym).upper()]
         except KeyError:
@@ -246,4 +258,8 @@ def element_ids(elements) -> np.ndarray:
                 "decipher force-field atom keys first (see manual)"
             )
             raise UnknownElementError(msg) from None
+    if key is not None:
+        if len(_ENCODE_CACHE) > 256:
+            _ENCODE_CACHE.clear()
+        _ENCODE_CACHE[key] = ids
     return ids

@@ -57,6 +57,59 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
     return jax.jit(batched, in_shardings=(shardings,))
 
 
+def dispatch_batch(
+    systems: list[tuple[np.ndarray, np.ndarray]],
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    reference_max_diameter: float | None = None,
+    shard: bool | None = None,
+    pad_atoms: int | None = None,
+):
+    """Encode + asynchronously dispatch one batch; returns a handle.
+
+    Dispatch returns before the device finishes, so the host can decode
+    the next batch while this one computes (collect with
+    :func:`collect_batch`).
+    """
+    n_dev = len(jax.devices())
+    if shard is None:
+        shard = n_dev > 1
+    b = len(systems)
+    b_pad = pad_batch_to_devices(b, n_dev) if shard else b
+    padded = list(systems) + [systems[0]] * (b_pad - b)
+    mols = encode_batch(padded, pad_to=pad_atoms)
+
+    if reference_max_diameter is None:
+        reference_max_diameter = max_dim_host(*systems[0])
+    n_win, n_avg, l1, l2 = static_sizes(reference_max_diameter, cfg)
+    fn = _compiled_batch_analysis(
+        n_win, n_avg, l1, l2, cfg, mesh_key="frames" if shard else None
+    )
+    return fn(mols), b
+
+
+def collect_batch(handle, cfg: AnalysisConfig = DEFAULT_CONFIG) -> list[dict]:
+    """Fetch a dispatched batch and convert to properties dicts."""
+    from pywindow_tpu.profiling import METRICS
+
+    flat_dev, b = handle
+    flat = np.asarray(flat_dev)  # ONE device->host transfer
+    results = [
+        to_properties_dict(unpack_results(flat[i], cfg.max_windows))
+        for i in range(b)
+    ]
+    METRICS.count("molecules_analysed", b)
+    METRICS.count(
+        "windows_found",
+        sum(
+            0
+            if r["windows"]["diameters"] is None
+            else len(r["windows"]["diameters"])
+            for r in results
+        ),
+    )
+    return results
+
+
 def analyze_batch(
     systems: list[tuple[np.ndarray, np.ndarray]],
     cfg: AnalysisConfig = DEFAULT_CONFIG,
@@ -75,37 +128,14 @@ def analyze_batch(
     """
     if not systems:
         return []
-    n_dev = len(jax.devices())
-    if shard is None:
-        shard = n_dev > 1
-    b = len(systems)
-    b_pad = pad_batch_to_devices(b, n_dev) if shard else b
-    padded = list(systems) + [systems[0]] * (b_pad - b)
-    mols = encode_batch(padded, pad_to=pad_atoms)
+    from pywindow_tpu.profiling import stage
 
-    if reference_max_diameter is None:
-        reference_max_diameter = max_dim_host(*systems[0])
-    n_win, n_avg, l1, l2 = static_sizes(reference_max_diameter, cfg)
-
-    from pywindow_tpu.profiling import METRICS, stage
-
-    fn = _compiled_batch_analysis(
-        n_win, n_avg, l1, l2, cfg, mesh_key="frames" if shard else None
-    )
     with stage("batch_analysis"):
-        flat = np.asarray(fn(mols))  # ONE device->host transfer
-    results = [
-        to_properties_dict(unpack_results(flat[i], cfg.max_windows))
-        for i in range(b)
-    ]
-    METRICS.count("molecules_analysed", b)
-    METRICS.count(
-        "windows_found",
-        sum(
-            0
-            if r["windows"]["diameters"] is None
-            else len(r["windows"]["diameters"])
-            for r in results
-        ),
-    )
-    return results
+        handle = dispatch_batch(
+            systems,
+            cfg,
+            reference_max_diameter=reference_max_diameter,
+            shard=shard,
+            pad_atoms=pad_atoms,
+        )
+        return collect_batch(handle, cfg)

@@ -201,7 +201,10 @@ class Trajectory:
         Results land in :attr:`analysis_output` with the same schema as
         :meth:`analysis`.
         """
-        from pywindow_tpu.parallel.batch import analyze_batch
+        from pywindow_tpu.parallel.batch import (
+            collect_batch,
+            dispatch_batch,
+        )
 
         todo = self._resolve_frames(frames)
         if not override:
@@ -209,8 +212,7 @@ class Trajectory:
         if not todo:
             return
 
-        for lo in range(0, len(todo), batch_size):
-            chunk = todo[lo : lo + batch_size]
+        def prepare(chunk):
             jobs: list[tuple[int, str]] = []  # (frame, molecule key)
             systems = []
             for frame in chunk:
@@ -227,10 +229,9 @@ class Trajectory:
                 for key, mol in mols.items():
                     jobs.append((frame, str(key)))
                     systems.append((mol.elements, mol.coordinates))
-            results = analyze_batch(
-                systems,
-                reference_max_diameter=reference_max_diameter,
-            )
+            return jobs, systems
+
+        def store(jobs, systems, results):
             for idx, ((frame, key), props) in enumerate(
                 zip(jobs, results)
             ):
@@ -238,6 +239,26 @@ class Trajectory:
                 props.pop("molecular_weight", None)
                 props["no_of_atoms"] = len(systems[idx][0])
                 self.analysis_output.setdefault(frame, {})[key] = props
+
+        # one-deep software pipeline: while the device crunches batch k,
+        # the host decodes/encodes batch k+1 (dispatch is asynchronous).
+        chunks = [
+            todo[lo : lo + batch_size]
+            for lo in range(0, len(todo), batch_size)
+        ]
+        pending = None  # (jobs, systems, handle)
+        for chunk in chunks:
+            jobs, systems = prepare(chunk)
+            handle = dispatch_batch(
+                systems, reference_max_diameter=reference_max_diameter
+            )
+            if pending is not None:
+                p_jobs, p_systems, p_handle = pending
+                store(p_jobs, p_systems, collect_batch(p_handle))
+            pending = (jobs, systems, handle)
+        if pending is not None:
+            p_jobs, p_systems, p_handle = pending
+            store(p_jobs, p_systems, collect_batch(p_handle))
 
     def _analyse_frame(
         self,

@@ -32,6 +32,181 @@ def _encode(elements, coordinates):
     return encode(np.asarray(elements), np.asarray(coordinates))
 
 
+# ---------------------------------------------------------------------
+# function-level parity with the reference's utilities module, so that
+# code written against ``pywindow.utilities`` can switch imports
+# (reference: utilities.py:80-148, 344-431, 1364-1650).  These are host
+# conveniences over the fused device kernels; hot loops should use
+# Molecule.full_analysis / parallel.batch instead.
+# ---------------------------------------------------------------------
+
+
+def distance(a, b) -> float:
+    """Euclidean distance between two points (reference: utilities.py:80-93)."""
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(np.sqrt(np.sum((a - b) ** 2)))
+
+
+def unique(input_list):
+    """First-occurrence unique list (reference: utilities.py:54-69)."""
+    out = []
+    for item in input_list:
+        if item not in out:
+            out.append(item)
+    return out
+
+
+def molecular_weight(elements) -> float:
+    from pywindow_tpu import tables
+
+    return float(tables.ELEMENT_MASS[tables.element_ids(elements)].sum())
+
+
+def center_of_coor(coordinates) -> np.ndarray:
+    c = np.asarray(coordinates, dtype=np.float64)
+    return c.sum(axis=0) / len(c)
+
+
+def center_of_mass(elements, coordinates) -> np.ndarray:
+    from pywindow_tpu import tables
+
+    m = tables.ELEMENT_MASS[tables.element_ids(elements)]
+    c = np.asarray(coordinates, dtype=np.float64)
+    return (c * m[:, None]).sum(axis=0) / m.sum()
+
+
+def shift_com(elements, coordinates, com_adjust=None) -> np.ndarray:
+    """Translate so the COM becomes ``com_adjust`` (default origin)
+    (reference: utilities.py:344-352)."""
+    if com_adjust is None:
+        com_adjust = np.zeros(3)
+    com = center_of_mass(elements, coordinates)
+    return np.asarray(coordinates, dtype=np.float64) - (com - com_adjust)
+
+
+def normal_vector(origin, vectors) -> np.ndarray:
+    """Normal of the plane through two vectors sharing an origin
+    (reference: utilities.py:813-817)."""
+    vectors = np.asarray(vectors, dtype=np.float64)
+    origin = np.asarray(origin, dtype=np.float64)
+    return np.cross(vectors[0] - origin, vectors[1] - origin)
+
+
+def angle_between_vectors(x, y) -> float:
+    """Unsigned angle (via |dot|, so in [0, pi/2]) between two vectors
+    (reference: utilities.py:1088-1097)."""
+    x, y = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    cosv = abs(float(np.dot(x, y))) / (
+        np.linalg.norm(x) * np.linalg.norm(y)
+    )
+    return float(np.arccos(np.clip(cosv, -1.0, 1.0)))
+
+
+def max_dim(elements, coordinates) -> tuple[int, int, float]:
+    """(atom_1, atom_2, maximum diameter) (reference: utilities.py:355-372)."""
+    from pywindow_tpu.ops import geometry
+
+    a1, a2, d = geometry.max_dim(_encode(elements, coordinates))
+    return int(a1), int(a2), float(d)
+
+
+def pore_diameter(elements, coordinates, com=None) -> tuple[float, int]:
+    """(pore diameter, limiting atom) (reference: utilities.py:375-388)."""
+    from pywindow_tpu.ops import geometry
+
+    mol = _encode(elements, coordinates)
+    com_arr = None if com is None else np.asarray(com, dtype=np.float64)
+    d, idx = geometry.pore_diameter(mol, com=com_arr)
+    return float(d), int(idx)
+
+
+def opt_pore_diameter(
+    elements, coordinates, bounds=None, com=None
+) -> tuple[float, int, np.ndarray]:
+    """(diameter, atom, optimised centre) (reference: utilities.py:400-426)."""
+    import jax
+
+    from pywindow_tpu.ops import geometry
+    from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize
+
+    mol = _encode(elements, coordinates)
+    if com is None:
+        com = center_of_mass(elements, coordinates)
+    com = np.asarray(com, dtype=np.float64)
+    if bounds is None:
+        pore_r = pore_diameter(elements, coordinates, com=com)[0] / 2.0
+        lower, upper = com - pore_r, com + pore_r
+    else:
+        bounds = np.asarray(bounds, dtype=np.float64)
+        lower, upper = bounds[:, 0], bounds[:, 1]
+    dtype = mol.coords.dtype
+
+    def f_neg(points):
+        return -2.0 * geometry.clearance_field(points, mol)
+
+    res = jax.jit(lambda c, lo, hi: lbfgsb_minimize(f_neg, c, lo, hi))(
+        com.astype(dtype), lower.astype(dtype), upper.astype(dtype)
+    )
+    x = np.asarray(res.x)
+    d, idx = geometry.pore_diameter(mol, com=res.x)
+    return float(d), int(idx), x
+
+
+def find_windows(elements, coordinates, processes=None, adjust=1.0,
+                 pore_opt=True, increment=1.0):
+    """(window diameters, window centres) or None
+    (reference: utilities.py:1364-1553).  ``processes`` is accepted for
+    API compatibility and ignored (the device batches instead)."""
+    del processes
+    import dataclasses
+
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.ops.analysis import max_dim_host, static_sizes
+    from pywindow_tpu.ops.windows import find_windows as _fw
+    import jax
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        adjust=float(adjust),
+        pore_opt=bool(pore_opt),
+        increment=float(increment),
+    )
+    mol = _encode(elements, coordinates)
+    maxd = max_dim_host(np.asarray(elements), np.asarray(coordinates))
+    n_win, _, l1, l2 = static_sizes(maxd, cfg)
+    res = jax.jit(
+        lambda m: _fw(m, n_win, l1, l2, cfg)
+    )(mol)
+    res = jax.device_get(res)
+    if not bool(res.any_open):
+        return None
+    valid = np.asarray(res.valid)
+    return np.asarray(res.diameters)[valid], np.asarray(res.centers)[valid]
+
+
+def find_average_diameter(elements, coordinates, adjust=1.0,
+                          processes=None) -> float:
+    """Average outline diameter (reference: utilities.py:1586-1650)."""
+    del processes
+    import jax
+    import jax.numpy as jnp
+
+    from pywindow_tpu.ops import geometry, rays
+    from pywindow_tpu.ops.analysis import max_dim_host
+
+    mol = _encode(elements, coordinates)
+    maxd = max_dim_host(np.asarray(elements), np.asarray(coordinates))
+    n = rays.number_of_points(maxd, adjust)
+    avg = jax.jit(
+        lambda m: rays.average_diameter(
+            geometry.shift_to(m, jnp.zeros(3, m.coords.dtype)),
+            n,
+            geometry.max_dim(m)[2],
+        )
+    )(mol)
+    return float(avg)
+
+
 def get_gyration_tensor(elements, coordinates) -> np.ndarray:
     """COM-corrected gyration tensor / N (reference: utilities.py:461-495)."""
     from pywindow_tpu.ops import geometry

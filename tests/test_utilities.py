@@ -1,0 +1,111 @@
+"""Function-level utilities parity and the sharded/batched paths."""
+
+import numpy as np
+import pytest
+
+import pywindow_tpu as pw
+from pywindow_tpu import utilities as u
+from pywindow_tpu.parallel.batch import analyze_batch
+from tests.conftest import DATA, load_xyz
+
+
+@pytest.fixture(scope="module")
+def cc3_arrays():
+    return load_xyz(DATA / "PUDXES.xyz")
+
+
+def test_function_level_parity(cc3_arrays):
+    elements, coords = cc3_arrays
+    np.testing.assert_allclose(
+        u.center_of_mass(elements, coords), [12.4, 12.4, 12.4], atol=1e-8
+    )
+    assert u.molecular_weight(elements) == pytest.approx(1117.548, abs=1e-3)
+    a1, a2, d = u.max_dim(elements, coords)
+    assert d == pytest.approx(22.179369990077188, abs=1e-8)
+    pd, atom = u.pore_diameter(elements, coords)
+    assert pd == pytest.approx(5.397020177310022, abs=1e-8)
+    od, oa, centre = u.opt_pore_diameter(elements, coords)
+    assert od == pytest.approx(5.397020177310022, abs=1e-6)
+    np.testing.assert_allclose(centre, [12.4, 12.4, 12.4], atol=1e-4)
+    avg = u.find_average_diameter(elements, coords)
+    assert avg == pytest.approx(13.832017514255472, abs=1e-6)
+    wins = u.find_windows(elements, coords)
+    assert wins is not None
+    np.testing.assert_allclose(
+        np.sort(wins[0]),
+        [3.62896512, 3.63562103, 3.63707237, 3.63778746],
+        atol=0.01,
+    )
+
+
+def test_small_helpers():
+    assert u.distance([0, 0, 0], [3, 4, 0]) == 5.0
+    assert u.unique([3, 1, 3, 2, 1]) == [3, 1, 2]
+    assert u.angle_between_vectors([1, 0, 0], [0, 1, 0]) == pytest.approx(
+        np.pi / 2
+    )
+    assert u.angle_between_vectors([1, 0, 0], [-1, 0, 0]) == pytest.approx(
+        0.0
+    )  # |dot| folds to [0, pi/2]
+    n = u.normal_vector([0, 0, 0], [[1, 0, 0], [0, 1, 0]])
+    np.testing.assert_allclose(n, [0, 0, 1])
+    shifted = u.shift_com(np.array(["C", "C"]), np.array([[0.0, 0, 0], [2, 0, 0]]))
+    np.testing.assert_allclose(shifted.mean(axis=0), [0, 0, 0], atol=1e-12)
+
+
+def test_batch_matches_single(cc3_arrays):
+    elements, coords = cc3_arrays
+    single = pw.Molecule(
+        {"elements": elements, "coordinates": coords}
+    ).full_analysis()
+    batch = analyze_batch([(elements, coords)] * 3)
+    for res in batch:
+        assert res["pore_diameter"]["diameter"] == pytest.approx(
+            single["pore_diameter"]["diameter"], abs=1e-10
+        )
+        np.testing.assert_allclose(
+            np.sort(res["windows"]["diameters"]),
+            np.sort(single["windows"]["diameters"]),
+            atol=1e-8,
+        )
+
+
+def test_sharded_batch_over_virtual_mesh(cc3_arrays):
+    """8-virtual-device CPU mesh: sharded == unsharded results."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    elements, coords = cc3_arrays
+    systems = [(elements, coords + 0.01 * i) for i in range(8)]
+    sharded = analyze_batch(systems, shard=True)
+    unsharded = analyze_batch(systems, shard=False)
+    for a, b in zip(sharded, unsharded):
+        assert a["pore_diameter"]["diameter"] == pytest.approx(
+            b["pore_diameter"]["diameter"], abs=1e-10
+        )
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_trajectory_pipelined_batch_matches_serial():
+    traj = pw.DLPOLY(DATA / "HISTORY_singlemol_short")
+    traj.analysis_batched(
+        frames=[0, 1, 2, 3], batch_size=2,  # forces the pipeline path
+        forcefield="opls", swap_atoms={"he": "H"},
+    )
+    traj2 = pw.DLPOLY(DATA / "HISTORY_singlemol_short")
+    traj2.analysis(
+        frames=[2], forcefield="opls", swap_atoms={"he": "H"}
+    )
+    a = traj.analysis_output[2]["0"]
+    b = traj2.analysis_output[2]["0"]
+    assert a["pore_diameter"]["diameter"] == pytest.approx(
+        b["pore_diameter"]["diameter"], abs=1e-10
+    )

@@ -34,3 +34,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def pad_batch_to_devices(n: int, n_devices: int) -> int:
     """Smallest multiple of n_devices >= n (shard-evenly padding)."""
     return ((n + n_devices - 1) // n_devices) * n_devices
+
+
+def host_device_mesh(devices=None) -> Mesh:
+    """A ('hosts', 'frames') mesh for multi-host trajectory sharding.
+
+    The outer axis follows process boundaries (DCN), the inner axis the
+    per-host devices (ICI).  Frames have no cross-coupling, so batches
+    shard over the *flattened* mesh (PartitionSpec(('hosts','frames')))
+    and the only cross-host traffic is the trailing gather of property
+    vectors.  With a single process this degenerates to
+    :func:`frame_mesh` semantics.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_hosts = max(jax.process_count(), 1)
+    per_host = len(devices) // n_hosts
+    grid = np.asarray(devices)[: n_hosts * per_host].reshape(
+        n_hosts, per_host
+    )
+    return Mesh(grid, axis_names=("hosts", "frames"))
+
+
+def host_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading axis over both mesh axes (hosts x frames)."""
+    return NamedSharding(mesh, PartitionSpec(("hosts", "frames")))

@@ -191,6 +191,8 @@ class Trajectory:
         swap_atoms: dict | None = None,
         forcefield: str | None = None,
         reference_max_diameter: float | None = None,
+        autosave: pathlib.Path | str | None = None,
+        autosave_every: int = 10,
     ) -> None:
         """Device-batched analysis: frames are decoded on the host and
         swept through the fused pipeline ``batch_size`` at a time,
@@ -200,6 +202,12 @@ class Trajectory:
         ``ncpus``-process pool (reference: trajectory.py:553-586).
         Results land in :attr:`analysis_output` with the same schema as
         :meth:`analysis`.
+
+        ``autosave``: checkpoint path — :attr:`analysis_output` is
+        flushed there every ``autosave_every`` collected batches (and at
+        the end), so long sweeps can resume after interruption: reload
+        the JSON into :attr:`analysis_output` (keys back to int) and
+        rerun with ``override=False``.
         """
         from pywindow_tpu.parallel.batch import (
             collect_batch,
@@ -246,6 +254,14 @@ class Trajectory:
             todo[lo : lo + batch_size]
             for lo in range(0, len(todo), batch_size)
         ]
+        collected = 0
+
+        def checkpoint(final=False):
+            if autosave is None:
+                return
+            if final or collected % max(autosave_every, 1) == 0:
+                self.save_analysis(autosave, override=True)
+
         pending = None  # (jobs, systems, handle)
         for chunk in chunks:
             jobs, systems = prepare(chunk)
@@ -255,10 +271,14 @@ class Trajectory:
             if pending is not None:
                 p_jobs, p_systems, p_handle = pending
                 store(p_jobs, p_systems, collect_batch(p_handle))
+                collected += 1
+                checkpoint()
             pending = (jobs, systems, handle)
         if pending is not None:
             p_jobs, p_systems, p_handle = pending
             store(p_jobs, p_systems, collect_batch(p_handle))
+            collected += 1
+            checkpoint(final=True)
 
     def _analyse_frame(
         self,
@@ -283,6 +303,20 @@ class Trajectory:
         }
 
     # -- persistence -------------------------------------------------------
+
+    def load_analysis(self, filepath: pathlib.Path | str) -> None:
+        """Reload a :meth:`save_analysis` JSON for resume: frames already
+        present are then skipped by ``analysis*/override=False``."""
+        import json
+
+        with pathlib.Path(filepath).open() as fh:
+            data = json.load(fh)
+        for frame_key, mols in data.items():
+            try:
+                frame: int | str = int(frame_key)
+            except ValueError:
+                frame = frame_key
+            self.analysis_output[frame] = mols
 
     def save_analysis(
         self,

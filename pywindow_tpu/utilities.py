@@ -310,6 +310,81 @@ def align_principal_ax(elements, coordinates):
     return coor, rotations
 
 
+def compose_atom_list(*args):
+    """(elements, [atom_ids], coordinates) arrays -> nested atom list.
+
+    Kept for reference compatibility (reference: utilities.py:151-220);
+    the TPU pipeline itself works on arrays, not atom lists.
+    Coordinates are rounded to 8 decimals, as in the reference.
+    """
+    if len(args) == 2:
+        elements, coordinates = args
+        return [
+            [str(e), *(round(float(x), 8) for x in xyz)]
+            for e, xyz in zip(elements, coordinates)
+        ]
+    if len(args) == 3:
+        elements, atom_ids, coordinates = args
+        return [
+            [str(e), str(a), *(round(float(x), 8) for x in xyz)]
+            for e, a, xyz in zip(elements, atom_ids, coordinates)
+        ]
+    msg = "compose_atom_list() accepts 2 or 3 arguments"
+    raise TypeError(msg)
+
+
+def decompose_atom_list(atom_list):
+    """Inverse of :func:`compose_atom_list`
+    (reference: utilities.py:223-264)."""
+    width = len(atom_list[0]) if atom_list else 0
+    if width == 4:
+        elements = np.array([row[0] for row in atom_list])
+        coordinates = np.array([row[1:4] for row in atom_list], dtype=float)
+        return elements, coordinates
+    if width == 5:
+        elements = np.array([row[0] for row in atom_list])
+        atom_ids = np.array([row[1] for row in atom_list])
+        coordinates = np.array([row[2:5] for row in atom_list], dtype=float)
+        return elements, atom_ids, coordinates
+    msg = "decompose_atom_list() needs rows of 4 or 5 items"
+    raise TypeError(msg)
+
+
+def circumcircle_window(coordinates, atom_set):
+    """Window radius/centre from a triad of carbons (Holden et al.).
+
+    The circumcircle of the three atoms minus the carbon vdW radius
+    (1.70 A) — reference: utilities.py:1653-1676 (dead code there; kept
+    here as a working utility).
+    """
+    coordinates = np.asarray(coordinates, dtype=np.float64)
+    pa, pb, pc = (coordinates[int(i)] for i in atom_set[:3])
+    a = np.linalg.norm(pc - pb)
+    b = np.linalg.norm(pc - pa)
+    c = np.linalg.norm(pb - pa)
+    s = (a + b + c) / 2.0
+    radius = a * b * c / (
+        4.0 * np.sqrt(s * (s - a) * (s - b) * (s - c))
+    ) - 1.70
+    b1 = a * a * (b * b + c * c - a * a)
+    b2 = b * b * (a * a + c * c - b * b)
+    b3 = c * c * (a * a + b * b - c * c)
+    centre = np.column_stack((pa, pb, pc)) @ np.array([b1, b2, b3])
+    centre = centre / (b1 + b2 + b3)
+    return float(radius), centre
+
+
+def circumcircle(coordinates, atom_sets):
+    """Circumcircle diameters/centres for many carbon triads
+    (reference: utilities.py:1679-1691)."""
+    diameters, centres = [], []
+    for atom_set in atom_sets:
+        r, com = circumcircle_window(coordinates, atom_set)
+        diameters.append(r * 2.0)
+        centres.append(com)
+    return diameters, centres
+
+
 def is_number(value: str) -> bool:
     """True if the string converts to a float
     (reference: utilities.py:45-51)."""

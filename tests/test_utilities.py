@@ -109,3 +109,52 @@ def test_trajectory_pipelined_batch_matches_serial():
     assert a["pore_diameter"]["diameter"] == pytest.approx(
         b["pore_diameter"]["diameter"], abs=1e-10
     )
+
+
+def test_circumcircle_and_atom_lists(cc3_arrays):
+    elements, coords = cc3_arrays
+    al = u.compose_atom_list(elements, coords)
+    assert len(al) == 168 and len(al[0]) == 4
+    e2, c2 = u.decompose_atom_list(al)
+    np.testing.assert_array_equal(e2, elements)
+    np.testing.assert_allclose(c2, coords, atol=1e-8)
+    # circumcircle of three points on a unit circle -> radius 1 - 1.70
+    pts = np.array([[1.0, 0, 0], [-1.0, 0, 0], [0, 1.0, 0]])
+    r, com = u.circumcircle_window(pts, [0, 1, 2])
+    assert r == pytest.approx(1.0 - 1.70, abs=1e-12)
+    np.testing.assert_allclose(com, [0, 0, 0], atol=1e-12)
+
+
+def test_host_device_mesh():
+    from pywindow_tpu.parallel.mesh import (
+        host_batch_sharding,
+        host_device_mesh,
+    )
+
+    mesh = host_device_mesh()
+    assert mesh.axis_names == ("hosts", "frames")
+    assert mesh.devices.size == 8
+    sharding = host_batch_sharding(mesh)
+    assert sharding is not None
+
+
+def test_autosave_and_resume(tmp_path):
+    import json
+
+    ckpt = tmp_path / "ckpt.json"
+    traj = pw.DLPOLY(DATA / "HISTORY_singlemol_short")
+    traj.analysis_batched(
+        frames=[0, 1], batch_size=1, autosave=ckpt, autosave_every=1,
+        forcefield="opls", swap_atoms={"he": "H"},
+    )
+    assert set(json.load(open(ckpt))) == {"0", "1"}
+    # resume in a fresh trajectory object
+    traj2 = pw.DLPOLY(DATA / "HISTORY_singlemol_short")
+    traj2.load_analysis(ckpt)
+    marker = traj2.analysis_output[0]
+    traj2.analysis_batched(
+        frames=[0, 1, 2], batch_size=2,
+        forcefield="opls", swap_atoms={"he": "H"},
+    )
+    assert traj2.analysis_output[0] is marker  # frames 0/1 skipped
+    assert 2 in traj2.analysis_output

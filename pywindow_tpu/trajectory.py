@@ -262,23 +262,36 @@ class Trajectory:
             if final or collected % max(autosave_every, 1) == 0:
                 self.save_analysis(autosave, override=True)
 
-        pending = None  # (jobs, systems, handle)
-        for chunk in chunks:
-            jobs, systems = prepare(chunk)
-            handle = dispatch_batch(
-                systems, reference_max_diameter=reference_max_diameter
-            )
+        # the cyclic GC is pathological here: analysis_output grows by
+        # thousands of small dicts per batch and gen-2 collections turn
+        # a 10k-frame sweep from ~8 s into ~3 min (measured 23x).
+        # Nothing in the loop creates reference cycles, so suspend it.
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            pending = None  # (jobs, systems, handle)
+            for chunk in chunks:
+                jobs, systems = prepare(chunk)
+                handle = dispatch_batch(
+                    systems,
+                    reference_max_diameter=reference_max_diameter,
+                )
+                if pending is not None:
+                    p_jobs, p_systems, p_handle = pending
+                    store(p_jobs, p_systems, collect_batch(p_handle))
+                    collected += 1
+                    checkpoint()
+                pending = (jobs, systems, handle)
             if pending is not None:
                 p_jobs, p_systems, p_handle = pending
                 store(p_jobs, p_systems, collect_batch(p_handle))
                 collected += 1
-                checkpoint()
-            pending = (jobs, systems, handle)
-        if pending is not None:
-            p_jobs, p_systems, p_handle = pending
-            store(p_jobs, p_systems, collect_batch(p_handle))
-            collected += 1
-            checkpoint(final=True)
+                checkpoint(final=True)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
 
     def _analyse_frame(
         self,

@@ -93,29 +93,16 @@ def decipher_atom_key(atom_key: str, forcefield: str) -> str:
     return fn(atom_key)
 
 
-_ARRAY_CACHE: dict = {}
-
-
 def decipher_all(atom_keys, forcefield: str) -> np.ndarray:
-    """Vector version, memoised per distinct key AND per whole array
-    (trajectory frames repeat the same atom-id sequence)."""
+    """Vector version: decipher each *distinct* key once and gather.
+
+    O(distinct keys) decipher work per call with no retained global
+    state — trajectory frames repeat a handful of distinct keys.
+    """
     arr = np.asarray(atom_keys)
-    array_key = None
-    if arr.dtype.kind in ("U", "S"):
-        array_key = (forcefield, arr.dtype.str, arr.tobytes())
-        cached = _ARRAY_CACHE.get(array_key)
-        if cached is not None:
-            return cached.copy()
-    cache: dict[str, str] = {}
-    out = []
-    for key in arr:
-        k = str(key)
-        if k not in cache:
-            cache[k] = decipher_atom_key(k, forcefield)
-        out.append(cache[k])
-    result = np.array(out, dtype="<U8")
-    if array_key is not None:
-        if len(_ARRAY_CACHE) > 256:
-            _ARRAY_CACHE.clear()
-        _ARRAY_CACHE[array_key] = result
-    return result.copy()
+    uniq, inverse = np.unique(arr, return_inverse=True)
+    mapped = np.array(
+        [decipher_atom_key(str(k), forcefield) for k in uniq],
+        dtype="<U8",
+    )
+    return mapped[inverse]

@@ -191,11 +191,32 @@ class Molecule:
 
     def shift_to_origin(self) -> None:
         """Translate so the COM coincides with the origin
-        (reference: molecular.py:354-366)."""
+        (reference: molecular.py:354-366).
+
+        Diameters are translation-invariant; positional properties
+        (COM, optimised pore centre, window centres) are translated in
+        place rather than recomputed.
+        """
         com = self.calculate_centre_of_mass()
         self.coordinates = np.asarray(self.coordinates) - com
         self.mol["coordinates"] = self.coordinates
-        self.properties.pop("centre_of_mass", None)
+        self.properties["centre_of_mass"] = np.zeros(3)
+        self.centre_of_mass = self.properties["centre_of_mass"]
+        if "pore_diameter_opt" in self.properties:
+            self.properties["pore_diameter_opt"]["centre_of_mass"] = (
+                np.asarray(
+                    self.properties["pore_diameter_opt"]["centre_of_mass"]
+                )
+                - com
+            )
+            self.pore_opt_COM = self.properties["pore_diameter_opt"][
+                "centre_of_mass"
+            ]
+        wins = self.properties.get("windows", {})
+        if wins.get("centre_of_mass") is not None:
+            wins["centre_of_mass"] = (
+                np.asarray(wins["centre_of_mass"]) - com
+            )
 
     # -- output -------------------------------------------------------
 

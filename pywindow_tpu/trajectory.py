@@ -264,8 +264,11 @@ class Trajectory:
 
         # the cyclic GC is pathological here: analysis_output grows by
         # thousands of small dicts per batch and gen-2 collections turn
-        # a 10k-frame sweep from ~8 s into ~3 min (measured 23x).
-        # Nothing in the loop creates reference cycles, so suspend it.
+        # a 10k-frame sweep from ~8 s into ~3 min (measured 23x).  The
+        # loop itself is cycle-free, so collection is suspended and a
+        # bounded manual collect runs every ~20 batches to reclaim any
+        # cycles produced elsewhere (e.g. jit machinery) during very
+        # long sweeps.
         import gc
 
         gc_was_enabled = gc.isenabled()
@@ -283,6 +286,8 @@ class Trajectory:
                     store(p_jobs, p_systems, collect_batch(p_handle))
                     collected += 1
                     checkpoint()
+                    if collected % 20 == 0:
+                        gc.collect()
                 pending = (jobs, systems, handle)
             if pending is not None:
                 p_jobs, p_systems, p_handle = pending

@@ -285,6 +285,12 @@ def to_properties_dict(res: FullAnalysis) -> dict:
     """Convert device results into the reference properties schema
     (keys as produced by molecular.py:215-352)."""
     wins = res.windows
+    if int(wins.n_clusters) >= len(np.asarray(wins.diameters)):
+        logger.warning(
+            "window clusters reached max_windows=%d; raise "
+            "AnalysisConfig.max_windows if this system may have more",
+            len(np.asarray(wins.diameters)),
+        )
     if not bool(wins.any_open):
         windows = {"diameters": None, "centre_of_mass": None}
     else:

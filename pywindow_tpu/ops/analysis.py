@@ -233,11 +233,6 @@ def _compiled_full_analysis(n_win, n_avg, l1, l2, cfg):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=64)
-def _compiled_max_dim():
-    return jax.jit(max_dim)
-
-
 def max_dim_host(elements: np.ndarray, coordinates: np.ndarray) -> float:
     """Maximum vdW-corrected diameter, host numpy.
 
@@ -270,7 +265,7 @@ def analyze(
     with stage("encode"):
         mol = encode(elements, coordinates, pad_to=pad_to)
     with stage("static_sizes"):
-        maxd = float(_compiled_max_dim()(mol)[2])
+        maxd = max_dim_host(np.asarray(elements), np.asarray(coordinates))
         n_win, n_avg, l1, l2 = static_sizes(maxd, cfg)
     with stage("full_analysis"):
         flat = _compiled_full_analysis(n_win, n_avg, l1, l2, cfg)(mol)

@@ -1,6 +1,6 @@
 """ctypes bindings for the native host-side core.
 
-The C++ library (``native/rebuild_core.cpp``) provides the hot
+The C++ library (``pywindow_tpu/_native/rebuild_core.cpp``) provides the hot
 host-side loops that feed the device pipeline: the exact-parity BFS for
 periodic molecule reconstruction and the DL_POLY frame decoder.  The
 library is built on demand with the system compiler; every caller has a
@@ -18,8 +18,24 @@ import numpy as np
 
 logger = logging.getLogger("pywindow_tpu")
 
-_NATIVE_DIR = pathlib.Path(__file__).parent.parent / "native"
-_SO = _NATIVE_DIR / "libpywindow_native.so"
+_NATIVE_DIR = pathlib.Path(__file__).parent / "_native"
+
+
+def _so_path() -> pathlib.Path:
+    """Build-output location: next to the sources when writable (source
+    checkout), else a per-user cache dir (installed package)."""
+    import os
+
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return _NATIVE_DIR / "libpywindow_native.so"
+    cache = pathlib.Path(
+        os.environ.get("XDG_CACHE_HOME", pathlib.Path.home() / ".cache")
+    ) / "pywindow_tpu"
+    cache.mkdir(parents=True, exist_ok=True)
+    return cache / "libpywindow_native.so"
+
+
+_SO = _so_path()
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
@@ -27,7 +43,11 @@ _TRIED = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["make", "-C", str(_NATIVE_DIR)],
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-ffp-contract=off", "-fno-fast-math",
+                "-o", str(_SO), str(_NATIVE_DIR / "rebuild_core.cpp"),
+            ],
             check=True,
             capture_output=True,
             timeout=120,

@@ -233,6 +233,18 @@ def _compiled_full_analysis(n_win, n_avg, l1, l2, cfg):
     return jax.jit(fn)
 
 
+def max_dim_bound(elements: np.ndarray, coordinates: np.ndarray) -> float:
+    """Cheap O(N) upper bound on the vdW-corrected maximum diameter
+    (bounding-box diagonal + two max vdW radii) — used to size the
+    padded ray-path arrays for a whole batch."""
+    from pywindow_tpu import tables
+
+    ids = tables.element_ids(elements)
+    c = np.asarray(coordinates, dtype=np.float64)
+    diag = float(np.linalg.norm(c.max(axis=0) - c.min(axis=0)))
+    return diag + 2.0 * float(tables.ELEMENT_VDW[ids].max())
+
+
 def max_dim_host(elements: np.ndarray, coordinates: np.ndarray) -> float:
     """Maximum vdW-corrected diameter, host numpy.
 

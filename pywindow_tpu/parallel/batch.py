@@ -17,6 +17,7 @@ import numpy as np
 from pywindow_tpu.config import DEFAULT_CONFIG, AnalysisConfig
 from pywindow_tpu.ops.analysis import (
     full_analysis_device,
+    max_dim_bound,
     max_dim_host,
     pack_results,
     static_sizes,
@@ -78,20 +79,33 @@ def dispatch_batch(
     padded = list(systems) + [systems[0]] * (b_pad - b)
     mols = encode_batch(padded, pad_to=pad_atoms)
 
+    # static sizes must cover the LARGEST molecule in the batch: sizing
+    # from systems[0] alone silently truncates ray paths and samples
+    # bigger members too sparsely.  A cheap O(N) bound picks the largest
+    # member; its exact max diameter sets the sampling density (for a
+    # single-system trajectory this is the reference's own radius).
+    bounds = [max_dim_bound(e, c) for e, c in systems]
+    largest = int(np.argmax(bounds))
     if reference_max_diameter is None:
-        reference_max_diameter = max_dim_host(*systems[0])
+        reference_max_diameter = max_dim_host(*systems[largest])
     n_win, n_avg, l1, l2 = static_sizes(reference_max_diameter, cfg)
+    _, _, l1_b, l2_b = static_sizes(max(bounds), cfg)
+    l1, l2 = max(l1, l1_b), max(l2, l2_b)
     fn = _compiled_batch_analysis(
         n_win, n_avg, l1, l2, cfg, mesh_key="frames" if shard else None
     )
-    return fn(mols), b
+    return (fn(mols), b, cfg)
 
 
-def collect_batch(handle, cfg: AnalysisConfig = DEFAULT_CONFIG) -> list[dict]:
-    """Fetch a dispatched batch and convert to properties dicts."""
+def collect_batch(handle) -> list[dict]:
+    """Fetch a dispatched batch and convert to properties dicts.
+
+    The handle carries the config the batch was dispatched with, so the
+    packed layout is always unpacked with the right window count.
+    """
     from pywindow_tpu.profiling import METRICS
 
-    flat_dev, b = handle
+    flat_dev, b, cfg = handle
     flat = np.asarray(flat_dev)  # ONE device->host transfer
     results = [
         to_properties_dict(unpack_results(flat[i], cfg.max_windows))
@@ -138,4 +152,4 @@ def analyze_batch(
             shard=shard,
             pad_atoms=pad_atoms,
         )
-        return collect_batch(handle, cfg)
+        return collect_batch(handle)

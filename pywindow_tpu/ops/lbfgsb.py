@@ -42,7 +42,7 @@ _XTOL = 0.1
 _XTRAPL = 1.1
 _XTRAPU = 4.0
 _EPS64 = 2.220446049250313e-16
-_FD_REL = _EPS64**0.5
+# FD steps are dtype-aware — see _fd_value_and_grad.
 
 
 class _StepState(NamedTuple):
@@ -346,6 +346,10 @@ def lbfgsb_minimize(
     dtype = x0.dtype
     d_dim = x0.shape[-1]
     tol = factr * _EPS64
+    # bounds at |b| >= 1e9 are "infinite" sentinels; 'boxed' means every
+    # variable has both finite bounds (drives the Fortran driver's
+    # first-step rule in lnsrlb).
+    boxed = jnp.all(jnp.abs(lower) < 1e9) & jnp.all(jnp.abs(upper) < 1e9)
 
     x = jnp.clip(x0, lower, upper)
     fx, g = _fd_value_and_grad(f_batch, x)
@@ -360,10 +364,12 @@ def lbfgsb_minimize(
         s_hist,
         y_hist,
         rho,
-        jnp.asarray(0, jnp.int32),  # number of stored pairs (capped at m)
+        jnp.asarray(0, jnp.int32),  # pairs stored so far (ring indices
+        #                             wrap modulo m; this keeps counting)
         jnp.asarray(0, jnp.int32),  # iteration
         jnp.asarray(False),  # done
         jnp.asarray(False),  # converged flag
+        jnp.asarray(False),  # restarted once after a line-search failure
     )
 
     def two_loop(g, s_hist, y_hist, rho, n_pairs):
@@ -398,28 +404,38 @@ def lbfgsb_minimize(
         return jax.lax.fori_loop(0, m, fwd, q)
 
     def body(state):
-        x, fx, g, s_hist, y_hist, rho, n_pairs, it, done, conv = state
+        (x, fx, g, s_hist, y_hist, rho, n_pairs, it, done, conv,
+         restarted) = state
 
         q = two_loop(g, s_hist, y_hist, rho, n_pairs)
         d = -q
         d = jnp.where(jnp.vdot(d, g) >= 0.0, -g, d)
         dnorm = jnp.linalg.norm(d)
+        gd_old = jnp.vdot(g, d)
 
-        # max feasible step along d
+        # max feasible step along d; the Fortran driver (lnsrlb) caps
+        # the first constrained iteration's line search at step 1.0 and
+        # starts fully-boxed problems directly at step 1.0.
         big = jnp.asarray(1e10, dtype)
         step_to_bound = jnp.where(
             d > 0,
             (upper - x) / jnp.where(d == 0, 1.0, d),
             jnp.where(d < 0, (lower - x) / jnp.where(d == 0, 1.0, d), big),
         )
-        stpmx = jnp.minimum(jnp.min(step_to_bound), big)
+        feasible = jnp.minimum(jnp.min(step_to_bound), big)
+        first = it == 0
+        stpmx = jnp.where(
+            first, jnp.minimum(feasible, jnp.asarray(1.0, dtype)), feasible
+        )
+        inv_dnorm = 1.0 / jnp.where(dnorm == 0, 1.0, dnorm)
         stp0 = jnp.where(
-            it == 0,
-            jnp.minimum(1.0 / jnp.where(dnorm == 0, 1.0, dnorm), stpmx),
+            first & ~boxed,
+            jnp.minimum(inv_dnorm, stpmx),
             jnp.minimum(jnp.asarray(1.0, dtype), stpmx),
         )
 
         res = _dcsrch(f_batch, x, d, fx, g, stp0, stpmx, maxfev=maxls)
+        ls_failed = res.failed
         xn = x + res.stp * d
         fn = res.f
         gn = res.g
@@ -427,7 +443,10 @@ def lbfgsb_minimize(
         s = xn - x
         y = gn - g
         sy = jnp.vdot(s, y)
-        store = sy > _EPS64 * jnp.vdot(y, y)
+        # curvature skip rule as in mainlb: dr <= epsmch * (-stp * gd_old)
+        store = (~ls_failed) & (
+            sy > _EPS64 * (-res.stp * gd_old)
+        )
         slot = n_pairs % m
         s_hist_n = jnp.where(store, s_hist.at[slot].set(s), s_hist)
         y_hist_n = jnp.where(store, y_hist.at[slot].set(y), y_hist)
@@ -436,16 +455,29 @@ def lbfgsb_minimize(
         )
         n_pairs_n = jnp.where(store, n_pairs + 1, n_pairs)
 
-        f_reduction_done = (fx - fn) <= tol * jnp.maximum(
-            jnp.maximum(jnp.abs(fx), jnp.abs(fn)), 1.0
+        # line-search failure handling as in mainlb: first failure wipes
+        # the L-BFGS memory and restarts from the same iterate with
+        # steepest descent; a second failure terminates at the previous
+        # (not the failed trial) point.
+        first_fail = ls_failed & ~restarted
+        second_fail = ls_failed & restarted
+        n_pairs_n = jnp.where(first_fail, 0, n_pairs_n)
+        restarted_n = restarted | ls_failed
+
+        # on any failure the trial point is discarded
+        xn = jnp.where(ls_failed, x, xn)
+        fn = jnp.where(ls_failed, fx, fn)
+        gn = jnp.where(ls_failed[..., None] if ls_failed.ndim else ls_failed,
+                       g, gn)
+
+        f_reduction_done = (~ls_failed) & (
+            (fx - fn)
+            <= tol
+            * jnp.maximum(jnp.maximum(jnp.abs(fx), jnp.abs(fn)), 1.0)
         )
         pg = xn - jnp.clip(xn - gn, lower, upper)
         pg_done = jnp.max(jnp.abs(pg)) <= pgtol
-        # a warning/maxfev line-search exit still yields a usable point and
-        # the iteration continues (matching the Fortran driver's behaviour
-        # for WARN tasks); termination is via f-reduction/pgtol/maxiter.
-        del res
-        new_done = f_reduction_done | pg_done
+        new_done = f_reduction_done | pg_done | second_fail
 
         keep = done
         return (
@@ -459,14 +491,15 @@ def lbfgsb_minimize(
             it + jnp.where(keep, 0, 1),
             done | new_done,
             conv | (~keep & (f_reduction_done | pg_done)),
+            jnp.where(keep, restarted, restarted_n),
         )
 
     def cond(state):
-        x, fx, g, _, _, _, _, it, done, _ = state
+        x, fx, g, _, _, _, _, it, done, _, _ = state
         pg = x - jnp.clip(x - g, lower, upper)
         return (~done) & (it < maxiter) & (jnp.max(jnp.abs(pg)) > pgtol)
 
-    x, fx, g, _, _, _, _, it, done, conv = jax.lax.while_loop(
+    x, fx, g, _, _, _, _, it, done, conv, _ = jax.lax.while_loop(
         cond, body, state0
     )
     pg0 = x - jnp.clip(x - g, lower, upper)

@@ -223,12 +223,21 @@ def find_windows(
     l1: int,
     l2: int,
     cfg: AnalysisConfig,
+    pore_centre: jnp.ndarray | None = None,
 ) -> WindowsResult:
-    """Full window detection for one molecule (input frame coordinates)."""
+    """Full window detection for one molecule (input frame coordinates).
+
+    ``pore_centre``: optionally reuse an already-optimised pore centre
+    (the reference reruns the optimisation inside find_windows,
+    utilities.py:1388 — inside one fused jit the rerun is pure waste,
+    and the optimiser is deterministic so the result is identical).
+    """
     dtype = mol.coords.dtype
     initial_com = center_of_mass(mol)
 
-    if cfg.pore_opt:
+    if pore_centre is not None and cfg.pore_opt:
+        centre = pore_centre
+    elif cfg.pore_opt:
         pd0, _ = pore_diameter(mol, com=initial_com)
         pore_r = pd0 / 2.0
 

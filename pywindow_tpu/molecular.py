@@ -392,6 +392,33 @@ class MolecularSystem:
     def system_to_molecule(self) -> Molecule:
         return Molecule(self.system, str(self.system_id), 0)
 
+    def analyze_molecules(self) -> dict:
+        """Full analysis of every molecule from :meth:`make_modular` in
+        one batched device sweep (instead of one device call each).
+
+        Returns ``{molecule_key: properties}`` and populates each
+        :class:`Molecule`'s ``properties`` in place.
+        """
+        if not self.molecules:
+            msg = "no molecules; run make_modular() first"
+            raise RuntimeError(msg)
+        from pywindow_tpu.parallel.batch import analyze_batch
+
+        keys = list(self.molecules)
+        results = analyze_batch(
+            [
+                (self.molecules[k].elements, self.molecules[k].coordinates)
+                for k in keys
+            ]
+        )
+        for key, props in zip(keys, results):
+            mol = self.molecules[key]
+            props = dict(props)
+            mol.MW = props.pop("molecular_weight")
+            mol.properties.update(props)
+            mol._sync_attributes()
+        return {k: self.molecules[k].properties for k in keys}
+
     def dump_system(
         self,
         filepath: pathlib.Path | str | None = None,

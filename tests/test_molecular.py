@@ -131,3 +131,26 @@ def test_molecule_from_dict_without_atom_ids(cc3):
     assert mol.no_of_atoms == 168
     assert not hasattr(mol, "atom_ids")
     assert mol.molecular_weight() == pytest.approx(1117.548, abs=1e-3)
+
+
+def test_analyze_molecules_batched_matches_individual():
+    molsys = pw.MolecularSystem.load_file(DATA / "system_periodic.pdb")
+    molsys.make_modular(rebuild=True)
+    out = molsys.analyze_molecules()
+    assert sorted(out) == list(range(8))
+    # every rebuilt CC3 copy must agree with the single-molecule result
+    single = pw.MolecularSystem.load_file(
+        DATA / "PUDXES.xyz"
+    ).system_to_molecule()
+    single.full_analysis()
+    for props in out.values():
+        assert props["pore_diameter"]["diameter"] == pytest.approx(
+            single.pore_diameter, abs=0.01
+        )
+        assert len(props["windows"]["diameters"]) == 4
+
+
+def test_analyze_molecules_requires_modular():
+    molsys = pw.MolecularSystem.load_file(DATA / "PUDXES.xyz")
+    with pytest.raises(RuntimeError):
+        molsys.analyze_molecules()

@@ -114,3 +114,26 @@ def test_xyz_trajectory_roundtrip(tmp_path, traj):
     np.testing.assert_allclose(
         f1.system["coordinates"], sys1["coordinates"], atol=1e-5
     )
+
+
+def test_xyz_trajectory_batched(tmp_path, traj):
+    sys0 = traj.get_frames(0, override=True)[0].system
+    out = tmp_path / "batched.xyz"
+    blocks = []
+    for _ in range(3):
+        lines = [str(len(sys0["atom_ids"])), "frame"]
+        lines += [
+            f"{el} {x:.6f} {y:.6f} {z:.6f}"
+            for el, (x, y, z) in zip(
+                sys0["atom_ids"], sys0["coordinates"]
+            )
+        ]
+        blocks.append("\n".join(lines))
+    out.write_text("\n".join(blocks) + "\n")
+    xyz = pw.XYZ(out)
+    xyz.analysis_batched(
+        frames="all", forcefield="opls", swap_atoms={"he": "H"}
+    )
+    assert sorted(xyz.analysis_output) == [0, 1, 2]
+    d = xyz.analysis_output[1]["0"]["pore_diameter"]["diameter"]
+    assert d == pytest.approx(4.8527, abs=0.01)

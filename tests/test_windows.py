@@ -124,3 +124,24 @@ def test_pore_opt_goldens():
         mol.full_analysis()
         assert mol.pore_diameter == pytest.approx(g_pore, abs=tol), name
         assert mol.pore_diameter_opt == pytest.approx(g_opt, abs=tol), name
+
+
+def test_window_rotation_invariance():
+    """Window count and diameters under rigid motion (BATVUP).
+
+    The golden-spiral sampling grid is fixed in space (as in the
+    reference), so rotating the molecule changes which rays seed each
+    window's refinement; the method is rotation-invariant only to its
+    angular discretisation, ~0.01 A.
+    """
+    elements, coords = load_xyz(DATA / "BATVUP.xyz")
+    rng = np.random.default_rng(11)
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q = q * np.sign(np.diag(r))
+    moved = coords @ q.T + np.array([-7.0, 3.0, 21.0])
+    a = pw.Molecule({"elements": elements, "coordinates": coords})
+    b = pw.Molecule({"elements": elements, "coordinates": moved})
+    wa = np.sort(a.calculate_windows())
+    wb = np.sort(b.calculate_windows())
+    assert len(wa) == len(wb) == 2
+    np.testing.assert_allclose(wa, wb, atol=0.01)

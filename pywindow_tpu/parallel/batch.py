@@ -58,6 +58,34 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
     return jax.jit(batched, in_shardings=(shardings,))
 
 
+#: HBM working budget for auto-sizing (v5e has 16 GiB; leave headroom
+#: for XLA workspace and the programs themselves).
+HBM_BUDGET_BYTES = int(11 * 1024**3)
+
+
+def max_safe_batch(
+    n_atoms: int,
+    max_diameter: float,
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    hbm_budget: int = HBM_BUDGET_BYTES,
+) -> int:
+    """Largest batch that keeps the dominant fused intermediate in HBM.
+
+    The coarse ray sweep materialises a (B, P*L1, N_pad) float32 product
+    (observed in XLA allocation failures); window refinement adds
+    (B, W, L2, N_pad).  Solving the budget for B bounds the batch.
+    """
+    from pywindow_tpu.config import pad_multiple
+    from pywindow_tpu.ops.encoding import round_up
+
+    n_pad = round_up(max(n_atoms, 1), pad_multiple())
+    n_win, _, l1, l2 = static_sizes(max_diameter, cfg)
+    per_frame = 4 * n_pad * (
+        n_win * l1 + cfg.max_windows * l2
+    )
+    return max(1, int(hbm_budget // max(per_frame, 1)))
+
+
 def dispatch_batch(
     systems: list[tuple[np.ndarray, np.ndarray]],
     cfg: AnalysisConfig = DEFAULT_CONFIG,
@@ -142,7 +170,33 @@ def analyze_batch(
     """
     if not systems:
         return []
+    import logging
+
     from pywindow_tpu.profiling import stage
+
+    # memory guard: split into HBM-safe sub-batches (a 2048-atom system
+    # exceeds a 16 GiB chip already at batch ~50).
+    n_max = max(len(e) for e, _ in systems)
+    maxd = max(max_dim_bound(e, c) for e, c in systems)
+    safe = max_safe_batch(n_max, maxd, cfg)
+    if len(systems) > safe:
+        logging.getLogger("pywindow_tpu").info(
+            "splitting batch of %d into HBM-safe chunks of %d",
+            len(systems),
+            safe,
+        )
+        out: list[dict] = []
+        for lo in range(0, len(systems), safe):
+            out.extend(
+                analyze_batch(
+                    systems[lo : lo + safe],
+                    cfg,
+                    reference_max_diameter=reference_max_diameter,
+                    shard=shard,
+                    pad_atoms=pad_atoms,
+                )
+            )
+        return out
 
     with stage("batch_analysis"):
         handle = dispatch_batch(

@@ -25,7 +25,6 @@ import numpy as np
 from pywindow_tpu import tables
 from pywindow_tpu.ops.cell import (
     cart_to_frac,
-    frac_to_cart,
     unit_cell_to_lattice_array,
 )
 

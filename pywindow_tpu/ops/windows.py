@@ -234,6 +234,11 @@ def find_windows(
     """
     dtype = mol.coords.dtype
     initial_com = center_of_mass(mol)
+    # no interior at the COM -> no pore -> no windows (the reference
+    # crashes here instead: inverted scipy bounds from a negative pore
+    # radius, utilities.py:416-421).
+    pd_com, _ = pore_diameter(mol, com=initial_com)
+    has_pore = pd_com > 0.0
 
     if pore_centre is not None and cfg.pore_opt:
         centre = pore_centre
@@ -264,7 +269,7 @@ def find_windows(
 
     open_pre = rays.preanalysis_open(points, shifted)
     path = rays.path_analysis(points, shifted, cfg.increment, l1)
-    survives = open_pre & path.ok
+    survives = open_pre & path.ok & has_pore
     any_open = jnp.any(survives)
 
     labels, n_clusters = dbscan(

@@ -193,6 +193,7 @@ class Trajectory:
         reference_max_diameter: float | None = None,
         autosave: pathlib.Path | str | None = None,
         autosave_every: int = 10,
+        exact_sizes: bool = False,
     ) -> None:
         """Device-batched analysis: frames are decoded on the host and
         swept through the fused pipeline ``batch_size`` at a time,
@@ -208,6 +209,14 @@ class Trajectory:
         the end), so long sweeps can resume after interruption: reload
         the JSON into :attr:`analysis_output` (keys back to int) and
         rerun with ``override=False``.
+
+        ``exact_sizes``: by default one sampling-point count (derived
+        from the largest member) serves the whole sweep, which can
+        differ from the reference's per-frame count at log-scale
+        boundaries (~1e-3 A effect).  With ``exact_sizes=True`` frames
+        are pre-scanned and bucketed by their exact per-frame point
+        counts, making batched results identical to the serial path at
+        the cost of one extra decode pass.
         """
         from pywindow_tpu.parallel.batch import (
             collect_batch,
@@ -218,6 +227,46 @@ class Trajectory:
         if not override:
             todo = [f for f in todo if f not in self.analysis_output]
         if not todo:
+            return
+
+        if exact_sizes:
+            # bucket frames by their exact per-frame sampling sizes and
+            # run one sweep per bucket (each with its own point count).
+            from pywindow_tpu.config import DEFAULT_CONFIG
+            from pywindow_tpu.ops.analysis import (
+                max_dim_host,
+                static_sizes,
+            )
+
+            buckets: dict = {}
+            for frame in todo:
+                molsys = self._get_frame(
+                    frame_no=frame,
+                    swap_atoms=swap_atoms,
+                    forcefield=forcefield,
+                )
+                maxd = max_dim_host(
+                    molsys.system["elements"],
+                    molsys.system["coordinates"],
+                )
+                n_win, n_avg, _, _ = static_sizes(maxd, DEFAULT_CONFIG)
+                key = (n_win, n_avg)
+                entry = buckets.setdefault(key, ([], 0.0))
+                buckets[key] = (entry[0] + [frame], max(entry[1], maxd))
+            for (n_win, n_avg), (bucket, maxd) in buckets.items():
+                self.analysis_batched(
+                    frames=bucket,
+                    batch_size=batch_size,
+                    override=override,
+                    modular=modular,
+                    rebuild=rebuild,
+                    swap_atoms=swap_atoms,
+                    forcefield=forcefield,
+                    reference_max_diameter=maxd,
+                    autosave=autosave,
+                    autosave_every=autosave_every,
+                    exact_sizes=False,
+                )
             return
 
         def prepare(chunk):

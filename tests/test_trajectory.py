@@ -137,3 +137,27 @@ def test_xyz_trajectory_batched(tmp_path, traj):
     assert sorted(xyz.analysis_output) == [0, 1, 2]
     d = xyz.analysis_output[1]["0"]["pore_diameter"]["diameter"]
     assert d == pytest.approx(4.8527, abs=0.01)
+
+
+def test_exact_sizes_batched_matches_serial(tmp_path):
+    t1 = pw.DLPOLY(HISTORY)
+    t1.analysis_batched(
+        frames=[0, 5], exact_sizes=True,
+        forcefield="opls", swap_atoms={"he": "H"},
+    )
+    t2 = pw.DLPOLY(HISTORY)
+    t2.analysis(frames=[0, 5], forcefield="opls", swap_atoms={"he": "H"})
+    for f in (0, 5):
+        a = t1.analysis_output[f]["0"]
+        b = t2.analysis_output[f]["0"]
+        assert a["pore_diameter"]["diameter"] == pytest.approx(
+            b["pore_diameter"]["diameter"], abs=1e-12
+        )
+        assert a["average_diameter"] == pytest.approx(
+            b["average_diameter"], abs=1e-12
+        )
+        np.testing.assert_allclose(
+            np.sort(a["windows"]["diameters"]),
+            np.sort(b["windows"]["diameters"]),
+            atol=1e-10,
+        )

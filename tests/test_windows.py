@@ -145,3 +145,44 @@ def test_window_rotation_invariance():
     wb = np.sort(b.calculate_windows())
     assert len(wa) == len(wb) == 2
     np.testing.assert_allclose(wa, wb, atol=0.01)
+
+
+def test_config_variants_on_batvup():
+    """Non-default config branches: pore_opt off, second z pass,
+    adjusted sampling density."""
+    import dataclasses
+
+    import jax
+
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.ops import encoding
+    from pywindow_tpu.ops.analysis import max_dim_host, static_sizes
+    from pywindow_tpu.ops.windows import find_windows as fw
+
+    elements, coords = load_xyz(DATA / "BATVUP.xyz")
+    mol = encoding.encode(elements, coords)
+    maxd = max_dim_host(elements, coords)
+
+    def run(cfg):
+        n_win, _, l1, l2 = static_sizes(maxd, cfg)
+        res = jax.device_get(
+            jax.jit(lambda m: fw(m, n_win, l1, l2, cfg))(mol)
+        )
+        return np.sort(np.asarray(res.diameters)[np.asarray(res.valid)])
+
+    base = run(DEFAULT_CONFIG)
+    assert len(base) == 2
+
+    no_opt = run(dataclasses.replace(DEFAULT_CONFIG, pore_opt=False))
+    assert len(no_opt) == 2  # BATVUP's COM is close to the opt centre
+    np.testing.assert_allclose(no_opt, base, atol=0.2)
+
+    second_z = run(
+        dataclasses.replace(DEFAULT_CONFIG, z_second_mini=True)
+    )
+    assert len(second_z) == 2
+    np.testing.assert_allclose(second_z, base, atol=0.1)
+
+    dense = run(dataclasses.replace(DEFAULT_CONFIG, adjust=1.5))
+    assert len(dense) == 2
+    np.testing.assert_allclose(dense, base, atol=0.05)

@@ -51,6 +51,7 @@ class Molecule:
         self.config = config
         self.properties: dict = {"no_of_atoms": self.no_of_atoms}
         self._windows = None
+        self._analysed = False
 
     @classmethod
     def load_rdkit_mol(
@@ -73,6 +74,7 @@ class Molecule:
         self.MW = res.pop("molecular_weight")
         self.properties.update(res)
         self._sync_attributes()
+        self._analysed = True
         return self.properties
 
     def _sync_attributes(self) -> None:
@@ -100,7 +102,10 @@ class Molecule:
     # -- individual properties (reference: molecular.py:215-352) ------
 
     def _ensure_analysis(self) -> None:
-        if "centre_of_mass" not in self.properties:
+        # an explicit flag: individual setters (calculate_centre_of_mass,
+        # shift_to_origin) also write property keys, so key presence is
+        # not a reliable "full analysis ran" sentinel.
+        if not self._analysed:
             self.full_analysis()
 
     def molecular_weight(self) -> float:
@@ -339,18 +344,20 @@ class MolecularSystem:
         coordinates = np.array([], dtype=np.float64).reshape(0, 3)
         atom_ids = np.array([])
         elements = np.array([])
+        have_ids = all("atom_ids" in mol for mol in discrete) and discrete
         for mol in discrete:
             coordinates = np.concatenate(
                 [coordinates, mol["coordinates"]], axis=0
             )
             elements = np.concatenate([elements, mol["elements"]])
-            if "atom_ids" in mol:
+            if have_ids:
                 atom_ids = np.concatenate([atom_ids, mol["atom_ids"]])
         rebuilt = {
             "coordinates": coordinates,
-            "atom_ids": atom_ids,
             "elements": elements,
         }
+        if have_ids:
+            rebuilt["atom_ids"] = atom_ids
         if override:
             self.system.update(rebuilt)
         return self.load_system(rebuilt)
@@ -417,6 +424,7 @@ class MolecularSystem:
             mol.MW = props.pop("molecular_weight")
             mol.properties.update(props)
             mol._sync_attributes()
+            mol._analysed = True
         return {k: self.molecules[k].properties for k in keys}
 
     def dump_system(
@@ -434,9 +442,12 @@ class MolecularSystem:
             elements = np.array([])
             atom_ids = np.array([])
             coor = np.array([]).reshape(0, 3)
+            have_ids = self.molecules and all(
+                "atom_ids" in m.mol for m in self.molecules.values()
+            )
             for mol_ in self.molecules.values():
                 elements = np.concatenate((elements, mol_.mol["elements"]))
-                if "atom_ids" in mol_.mol:
+                if have_ids:
                     atom_ids = np.concatenate(
                         (atom_ids, mol_.mol["atom_ids"])
                     )
@@ -444,8 +455,11 @@ class MolecularSystem:
                     (coor, mol_.mol["coordinates"]), axis=0
                 )
             system_dict["elements"] = elements
-            system_dict["atom_ids"] = atom_ids
             system_dict["coordinates"] = coor
+            if have_ids:
+                system_dict["atom_ids"] = atom_ids
+            else:
+                system_dict.pop("atom_ids", None)
         atom_ids_key = (
             "elements" if "atom_ids" not in system_dict else "atom_ids"
         )

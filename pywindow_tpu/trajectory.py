@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import pathlib
 from contextlib import closing
-from copy import deepcopy
 from mmap import ACCESS_READ, mmap
 
 import numpy as np
@@ -137,15 +136,23 @@ class Trajectory:
         if override:
             self.frames = {}
         collected = {}
+        cacheable = swap_atoms is None and forcefield is None and extract_data
         for frame in self._resolve_frames(frames):
-            if frame not in self.frames:
-                self.frames[frame] = self._get_frame(
+            if cacheable:
+                if frame not in self.frames:
+                    self.frames[frame] = self._get_frame(
+                        frame_no=frame, extract_data=True
+                    )
+                collected[frame] = self.frames[frame]
+            else:
+                # processed/raw frames are not cached: the cache holds
+                # bare frames only, so option changes cannot poison it
+                collected[frame] = self._get_frame(
                     frame_no=frame,
                     swap_atoms=swap_atoms,
                     forcefield=forcefield,
                     extract_data=extract_data,
                 )
-            collected[frame] = self.frames[frame]
         return collected
 
     # -- analysis ---------------------------------------------------------
@@ -226,6 +233,11 @@ class Trajectory:
         todo = self._resolve_frames(frames)
         if not override:
             todo = [f for f in todo if f not in self.analysis_output]
+        else:
+            # a re-run fully replaces the frame entries (merging would
+            # leave stale molecule keys from a previous modular run)
+            for f in todo:
+                self.analysis_output.pop(f, None)
         if not todo:
             return
 
@@ -301,6 +313,30 @@ class Trajectory:
             for frame in chunk:
                 self.analysis_output.setdefault(frame, {})
 
+        def dispatch_all(systems):
+            """HBM-guarded dispatch: oversized system lists (modular
+            frames multiply the per-chunk count) split into safe
+            sub-dispatches."""
+            from pywindow_tpu.ops.analysis import max_dim_bound
+            from pywindow_tpu.parallel.batch import max_safe_batch
+
+            n_max = max(len(e) for e, _ in systems)
+            maxd = max(max_dim_bound(e, c) for e, c in systems)
+            safe = max_safe_batch(n_max, maxd)
+            return [
+                dispatch_batch(
+                    systems[lo : lo + safe],
+                    reference_max_diameter=reference_max_diameter,
+                )
+                for lo in range(0, len(systems), safe)
+            ]
+
+        def collect_all(handles):
+            out = []
+            for h in handles:
+                out.extend(collect_batch(h))
+            return out
+
         # one-deep software pipeline: while the device crunches batch k,
         # the host decodes/encodes batch k+1 (dispatch is asynchronous).
         chunks = [
@@ -335,23 +371,20 @@ class Trajectory:
                     for frame in chunk:
                         self.analysis_output.setdefault(frame, {})
                     continue
-                handle = dispatch_batch(
-                    systems,
-                    reference_max_diameter=reference_max_diameter,
-                )
+                handles = dispatch_all(systems)
                 if pending is not None:
-                    p_chunk, p_jobs, p_systems, p_handle = pending
+                    p_chunk, p_jobs, p_systems, p_handles = pending
                     store(
-                        p_chunk, p_jobs, p_systems, collect_batch(p_handle)
+                        p_chunk, p_jobs, p_systems, collect_all(p_handles)
                     )
                     collected += 1
                     checkpoint()
                     if collected % 20 == 0:
                         gc.collect()
-                pending = (chunk, jobs, systems, handle)
+                pending = (chunk, jobs, systems, handles)
             if pending is not None:
-                p_chunk, p_jobs, p_systems, p_handle = pending
-                store(p_chunk, p_jobs, p_systems, collect_batch(p_handle))
+                p_chunk, p_jobs, p_systems, p_handles = pending
+                store(p_chunk, p_jobs, p_systems, collect_all(p_handles))
                 collected += 1
                 checkpoint(final=True)
         finally:
@@ -401,7 +434,9 @@ class Trajectory:
         filepath: pathlib.Path | str | None = None,
         override: bool = False,
     ) -> None:
-        dict_obj = deepcopy(self.analysis_output)
+        # no deepcopy: json.dump only reads, and the autosave checkpoint
+        # calls this repeatedly during long sweeps.
+        dict_obj = self.analysis_output
         if filepath is None:
             filepath = (
                 pathlib.Path.cwd() / f"{self.system_id}_pywindow_analysis"
@@ -430,9 +465,10 @@ class Trajectory:
             )
             raise ValueError(msg)
         to_get = self._resolve_frames(frames)
-        self.get_frames(to_get)
         for frame in to_get:
-            molsys = self.frames[frame]
+            # fresh decode: swapping/deciphering must not mutate any
+            # cached frame in self.frames
+            molsys = self._get_frame(frame_no=frame)
             if decipher and forcefield is not None:
                 if swap_atoms is not None:
                     if not isinstance(swap_atoms, dict):
@@ -655,7 +691,11 @@ class XYZ(Trajectory):
                     self.trajectory_map[frame] = [frame_start, progress]
                     break
                 sline = bline.decode("utf-8").strip("\n").split()
-                if len(sline) == 1 and is_number(sline[0]) and progress > 0:
+                if (
+                    len(sline) == 1
+                    and sline[0].lstrip("+-").isdigit()
+                    and progress > 0
+                ):
                     frame += 1
                     self.trajectory_map[frame] = [frame_start, progress]
                     frame_start = progress

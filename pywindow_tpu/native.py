@@ -41,19 +41,30 @@ _TRIED = False
 
 
 def _build() -> bool:
+    # build to a unique temp path and rename atomically: concurrent
+    # processes must never dlopen a half-written library.
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        suffix=".so", prefix="pywindow_native_", dir=str(_SO.parent)
+    )
+    os.close(fd)
     try:
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                 "-ffp-contract=off", "-fno-fast-math",
-                "-o", str(_SO), str(_NATIVE_DIR / "rebuild_core.cpp"),
+                "-o", tmp, str(_NATIVE_DIR / "rebuild_core.cpp"),
             ],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _SO)
     except (OSError, subprocess.SubprocessError) as exc:
         logger.info("native build unavailable (%s); using numpy paths", exc)
+        pathlib.Path(tmp).unlink(missing_ok=True)
         return False
     return _SO.is_file()
 
@@ -131,15 +142,18 @@ def bfs_molecule(
     cap = n + ns
     out_src = np.empty(cap, dtype=np.int32)
     out_idx = np.empty(cap, dtype=np.int64)
+    if unassigned.dtype != np.uint8 or not unassigned.flags["C_CONTIGUOUS"]:
+        msg = "unassigned must be a C-contiguous uint8 array (mutated in place)"
+        raise TypeError(msg)
     got = L.pw_bfs_molecule(
         n,
-        _ptr(np.ascontiguousarray(coords), ctypes.c_double),
-        _ptr(np.ascontiguousarray(cov), ctypes.c_double),
+        _ptr(np.ascontiguousarray(coords, dtype=np.float64), ctypes.c_double),
+        _ptr(np.ascontiguousarray(cov, dtype=np.float64), ctypes.c_double),
         _ptr(np.ascontiguousarray(heavy, dtype=np.uint8), ctypes.c_uint8),
         _ptr(np.ascontiguousarray(key_id, dtype=np.int64), ctypes.c_int64),
         ns,
-        _ptr(np.ascontiguousarray(scoords), ctypes.c_double),
-        _ptr(np.ascontiguousarray(scov), ctypes.c_double),
+        _ptr(np.ascontiguousarray(scoords, dtype=np.float64), ctypes.c_double),
+        _ptr(np.ascontiguousarray(scov, dtype=np.float64), ctypes.c_double),
         _ptr(np.ascontiguousarray(sheavy, dtype=np.uint8), ctypes.c_uint8),
         _ptr(np.ascontiguousarray(skey_id, dtype=np.int64), ctypes.c_int64),
         _ptr(

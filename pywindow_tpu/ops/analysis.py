@@ -251,16 +251,24 @@ def max_dim_host(elements: np.ndarray, coordinates: np.ndarray) -> float:
     """Maximum vdW-corrected diameter, host numpy.
 
     Used only to derive static sampling sizes (a device round-trip per
-    batch is pure latency, especially over a tunneled TPU).
+    batch is pure latency, especially over a tunneled TPU).  Row-chunked
+    so a 20k-atom framework does not materialise an (N, N, 3) float64
+    intermediate; the full-matrix max equals the triu max by symmetry.
     """
     from pywindow_tpu import tables
 
     ids = tables.element_ids(elements)
     vdw = tables.ELEMENT_VDW[ids]
     c = np.asarray(coordinates, dtype=np.float64)
-    diff = c[:, None, :] - c[None, :, :]
-    d = np.sqrt((diff * diff).sum(-1)) + vdw[:, None] + vdw[None, :]
-    return float(np.max(np.triu(d)))
+    best = 0.0
+    chunk = 1024
+    for lo in range(0, len(c), chunk):
+        diff = c[lo : lo + chunk, None, :] - c[None, :, :]
+        d = np.sqrt((diff * diff).sum(-1))
+        d += vdw[lo : lo + chunk, None]
+        d += vdw[None, :]
+        best = max(best, float(d.max()))
+    return best
 
 
 def analyze(

@@ -171,32 +171,3 @@ def brute_then_polish(
     return nelder_mead(
         f, x0, xatol=xatol, fatol=fatol, maxiter=maxiter
     )
-
-
-def minimize_scalar_bounded(
-    f: Callable[[jnp.ndarray], jnp.ndarray],
-    x0: jnp.ndarray,
-    lower: jnp.ndarray,
-    init_step: float = 0.1,
-    maxiter: int = 200,
-    xatol: float = 1e-8,
-    fatol: float = 1e-12,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """1-D bounded local minimisation (window z stage).
-
-    The z profile on ``[-new_z, inf)`` falls from the pore value to the
-    window minimum and rises again, so a clipped 1-D Nelder-Mead from the
-    ray's narrow point converges to the same minimum L-BFGS-B finds
-    (reference: utilities.py:1174-1188, :1301-1305).
-    """
-    dtype = jnp.result_type(x0, 1.0)
-    x, fx = nelder_mead(
-        lambda v: f(v[0]),
-        jnp.asarray([x0], dtype=dtype),
-        init_step=jnp.asarray([init_step], dtype=dtype),
-        lower=jnp.asarray([lower], dtype=dtype),
-        xatol=xatol,
-        fatol=fatol,
-        maxiter=maxiter,
-    )
-    return x[0], fx

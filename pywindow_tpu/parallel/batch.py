@@ -86,6 +86,23 @@ def max_safe_batch(
     return max(1, int(hbm_budget // max(per_frame, 1)))
 
 
+def _largest_exact_maxd(systems, bounds) -> float:
+    """Exact maximum diameter of the batch's largest member.
+
+    The O(N) bound is an upper bound but not order-preserving against
+    the exact diameter, so candidates are examined in descending-bound
+    order until no remaining bound can beat the best exact value
+    (usually one or two exact computations).
+    """
+    order = np.argsort(bounds)[::-1]
+    best = 0.0
+    for i in order:
+        if bounds[i] <= best:
+            break
+        best = max(best, max_dim_host(*systems[i]))
+    return best
+
+
 def dispatch_batch(
     systems: list[tuple[np.ndarray, np.ndarray]],
     cfg: AnalysisConfig = DEFAULT_CONFIG,
@@ -109,13 +126,10 @@ def dispatch_batch(
 
     # static sizes must cover the LARGEST molecule in the batch: sizing
     # from systems[0] alone silently truncates ray paths and samples
-    # bigger members too sparsely.  A cheap O(N) bound picks the largest
-    # member; its exact max diameter sets the sampling density (for a
-    # single-system trajectory this is the reference's own radius).
+    # bigger members too sparsely.
     bounds = [max_dim_bound(e, c) for e, c in systems]
-    largest = int(np.argmax(bounds))
     if reference_max_diameter is None:
-        reference_max_diameter = max_dim_host(*systems[largest])
+        reference_max_diameter = _largest_exact_maxd(systems, bounds)
     n_win, n_avg, l1, l2 = static_sizes(reference_max_diameter, cfg)
     _, _, l1_b, l2_b = static_sizes(max(bounds), cfg)
     l1, l2 = max(l1, l1_b), max(l2, l2_b)
@@ -177,9 +191,14 @@ def analyze_batch(
     # memory guard: split into HBM-safe sub-batches (a 2048-atom system
     # exceeds a 16 GiB chip already at batch ~50).
     n_max = max(len(e) for e, _ in systems)
-    maxd = max(max_dim_bound(e, c) for e, c in systems)
+    bounds = [max_dim_bound(e, c) for e, c in systems]
+    maxd = max(bounds)
     safe = max_safe_batch(n_max, maxd, cfg)
     if len(systems) > safe:
+        # pin the sampling size for all sub-batches: results must not
+        # depend on chunk boundaries, and one size = one compile.
+        if reference_max_diameter is None:
+            reference_max_diameter = _largest_exact_maxd(systems, bounds)
         logging.getLogger("pywindow_tpu").info(
             "splitting batch of %d into HBM-safe chunks of %d",
             len(systems),

@@ -1,0 +1,95 @@
+"""TPU float32 accuracy validation against the golden values.
+
+The pytest suite runs in CPU float64 (exact parity mode); this script
+runs the same golden set on the default backend — the real TPU in
+float32 — and reports the worst absolute errors against the <0.01 A
+contract. Run: python scripts/validate_f32.py
+"""
+
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np  # noqa: E402
+
+import pywindow_tpu as pw  # noqa: E402
+
+DATA = pathlib.Path(__file__).parent.parent / "tests" / "data"
+
+GOLD = {
+    "PUDXES": {
+        "pore": 5.397020177310022,
+        "avg": 13.832017514255472,
+        "max": 22.179369990077188,
+        "windows": [3.62896512, 3.63562103, 3.63707237, 3.63778746],
+    },
+    "BATVUP": {
+        "pore": 4.836533719851611,
+        "windows": [3.3414604104301676, 3.729380286546027],
+    },
+    "MIBQAR": {
+        "pore_opt": 12.277218239447373,
+        "windows": [
+            7.936596981480963, 7.938328681370597, 7.944268889914964,
+            7.944822155795365, 7.95227623300941, 7.963120398998443,
+        ],
+    },
+}
+
+
+def load(name):
+    p_xyz = DATA / f"{name}.xyz"
+    if p_xyz.exists():
+        lines = p_xyz.read_text().splitlines()
+        els = np.array([ln.split()[0] for ln in lines[2:] if ln.strip()])
+        co = np.array(
+            [[float(x) for x in ln.split()[1:4]] for ln in lines[2:] if ln.strip()]
+        )
+        return els, co
+    els, co = [], []
+    for ln in (DATA / f"{name}.pdb").open():
+        if ln[:6] in ("HETATM", "ATOM  "):
+            els.append(ln[76:78].strip())
+            co.append([float(ln[30:38]), float(ln[38:46]), float(ln[46:54])])
+    return np.array(els), np.array(co)
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    worst = 0.0
+    report = {"backend": backend, "systems": {}}
+    for name, gold in GOLD.items():
+        mol = pw.Molecule(dict(zip(("elements", "coordinates"), load(name))))
+        p = mol.full_analysis()
+        errs = {}
+        if "pore" in gold:
+            errs["pore"] = abs(p["pore_diameter"]["diameter"] - gold["pore"])
+        if "pore_opt" in gold:
+            errs["pore_opt"] = abs(
+                p["pore_diameter_opt"]["diameter"] - gold["pore_opt"]
+            )
+        if "avg" in gold:
+            errs["avg"] = abs(p["average_diameter"] - gold["avg"])
+        if "max" in gold:
+            errs["max"] = abs(p["maximum_diameter"]["diameter"] - gold["max"])
+        wins = np.sort(p["windows"]["diameters"])
+        assert len(wins) == len(gold["windows"]), (name, wins)
+        errs["windows"] = float(
+            np.abs(wins - np.sort(gold["windows"])).max()
+        )
+        report["systems"][name] = {k: round(v, 6) for k, v in errs.items()}
+        worst = max(worst, max(errs.values()))
+    report["worst_abs_error"] = round(worst, 6)
+    report["contract"] = "< 0.01 A"
+    report["pass"] = bool(worst < 0.01)
+    print(json.dumps(report, indent=1))
+    if not report["pass"]:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

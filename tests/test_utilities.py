@@ -158,3 +158,21 @@ def test_autosave_and_resume(tmp_path):
     )
     assert traj2.analysis_output[0] is marker  # frames 0/1 skipped
     assert 2 in traj2.analysis_output
+
+
+def test_mixed_size_batch():
+    """Heterogeneous batch: per-system correctness regardless of batch
+    composition (static sizes come from the largest exact member)."""
+    from tests.conftest import load_xyz as _lx
+
+    cc3 = _lx(DATA / "PUDXES.xyz")
+    yaq = _lx(DATA / "YAQHOQ.xyz")
+    bat = _lx(DATA / "BATVUP.xyz")
+    res = analyze_batch([yaq, cc3, bat])
+    assert res[0]["windows"]["diameters"] is None
+    np.testing.assert_allclose(
+        np.sort(res[1]["windows"]["diameters"]),
+        [3.62896512, 3.63562103, 3.63707237, 3.63778746],
+        atol=0.01,
+    )
+    assert len(res[2]["windows"]["diameters"]) == 2

@@ -63,7 +63,8 @@ def measure_tpu(systems) -> float:
 
     batch = [systems[i % len(systems)] for i in range(BATCH)]
     mols = encode_batch(batch)
-    maxd = max_dim_host(*batch[0])
+    # size from the largest frame, as dispatch_batch would
+    maxd = max(max_dim_host(*s) for s in systems)
     n_win, n_avg, l1, l2 = static_sizes(maxd, DEFAULT_CONFIG)
     step = _compiled_batch_analysis(n_win, n_avg, l1, l2, DEFAULT_CONFIG)
 

@@ -17,7 +17,9 @@ def main() -> None:
         print("rdkit not installed - using the XYZ loader instead")
         molsys = pw.MolecularSystem.load_file(DATA / "PUDXES.xyz")
     else:
-        rdkit_mol = Chem.MolFromMol2File("PUDXES.mol2", removeHs=False)
+        rdkit_mol = Chem.MolFromMol2File(
+            str(DATA / "PUDXES.mol2"), removeHs=False
+        )
         molsys = pw.MolecularSystem.load_rdkit_mol(rdkit_mol)
     mol = molsys.system_to_molecule()
     summarise("PUDXES", mol.full_analysis())

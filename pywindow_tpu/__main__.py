@@ -99,10 +99,15 @@ def cmd_trajectory(args) -> None:
 def cmd_bench(_args) -> None:
     import runpy
 
-    runpy.run_path(
-        str(pathlib.Path(__file__).parent.parent / "bench.py"),
-        run_name="__main__",
-    )
+    bench = pathlib.Path(__file__).parent.parent / "bench.py"
+    if not bench.is_file():
+        msg = (
+            "the benchmark (bench.py + its trajectory fixture) ships "
+            "with the source repository, not the installed package; "
+            "run it from a checkout"
+        )
+        raise SystemExit(msg)
+    runpy.run_path(str(bench), run_name="__main__")
 
 
 def main(argv=None) -> None:

@@ -63,11 +63,9 @@ def test_profiling_metrics_cycle():
 
 
 def test_empty_frames_list_noop():
-    traj = pw.DLPOLY(
-        __import__("pathlib").Path(__file__).parent
-        / "data"
-        / "HISTORY_singlemol_short"
-    )
+    from tests.conftest import DATA
+
+    traj = pw.DLPOLY(DATA / "HISTORY_singlemol_short")
     traj.analysis_batched(frames=[], forcefield="opls",
                           swap_atoms={"he": "H"})
     assert traj.analysis_output == {}

@@ -64,15 +64,14 @@ def test_rigid_motion_invariance(cc3):
     q = q * np.sign(np.diag(r))
     moved = coords @ q.T + np.array([11.0, -3.0, 42.0])
 
-    a = encoding.encode(elements, coords)
-    b = encoding.encode(elements, moved)
-    for mol_a, mol_b in ((a, b),):
-        da = float(geometry.max_dim(mol_a)[2])
-        db = float(geometry.max_dim(mol_b)[2])
-        assert da == pytest.approx(db, abs=1e-8)
-        pa = float(geometry.pore_diameter(mol_a)[0])
-        pb = float(geometry.pore_diameter(mol_b)[0])
-        assert pa == pytest.approx(pb, abs=1e-8)
+    mol_a = encoding.encode(elements, coords)
+    mol_b = encoding.encode(elements, moved)
+    da = float(geometry.max_dim(mol_a)[2])
+    db = float(geometry.max_dim(mol_b)[2])
+    assert da == pytest.approx(db, abs=1e-8)
+    pa = float(geometry.pore_diameter(mol_a)[0])
+    pb = float(geometry.pore_diameter(mol_b)[0])
+    assert pa == pytest.approx(pb, abs=1e-8)
 
 
 def test_padding_independence(cc3):

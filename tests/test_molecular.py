@@ -101,15 +101,16 @@ def test_shift_to_origin_translates_positions(analysed_cc3):
     pore_before = mol.pore_diameter
     wins_before = np.sort(mol.properties["windows"]["diameters"])
     com_before = np.array(mol.properties["centre_of_mass"])
+    wcoms_before = np.array(mol.properties["windows"]["centre_of_mass"])
     mol.shift_to_origin()
     np.testing.assert_allclose(
         mol.properties["centre_of_mass"], [0, 0, 0], atol=1e-12
     )
-    # positional properties translated by -com
+    # positional properties translated by exactly -com
     np.testing.assert_allclose(
-        np.asarray(mol.properties["windows"]["centre_of_mass"]).mean(0),
-        np.asarray(wins_before).mean() * 0 + 0,  # centres now around 0
-        atol=1.0,
+        np.asarray(mol.properties["windows"]["centre_of_mass"]),
+        wcoms_before - com_before,
+        atol=1e-10,
     )
     # invariant properties unchanged; re-analysis agrees
     props = mol.full_analysis()
@@ -122,7 +123,6 @@ def test_shift_to_origin_translates_positions(analysed_cc3):
     np.testing.assert_allclose(
         props["centre_of_mass"], [0, 0, 0], atol=1e-10
     )
-    del com_before
 
 
 def test_molecule_from_dict_without_atom_ids(cc3):

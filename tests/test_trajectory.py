@@ -30,11 +30,14 @@ def test_get_frame(traj):
     molsys = frames[0]
     assert len(molsys.system["atom_ids"]) == 168
     assert molsys.system["coordinates"].shape == (168, 3)
-    # OPLS atom keys with the conflicting 'he' swapped to H
-    # (reference: examples/example_7.py:33-37)
-    molsys.swap_atom_keys({"he": "H"})
-    molsys.decipher_atom_keys("OPLS")
-    assert set(molsys.system["elements"]) <= {"C", "H", "N", "Ni"}
+    # processed request bypasses the cache (OPLS keys, conflicting 'he'
+    # swapped to H - reference: examples/example_7.py:33-37)
+    processed = traj.get_frames(
+        0, swap_atoms={"he": "H"}, forcefield="OPLS"
+    )[0]
+    assert set(processed.system["elements"]) <= {"C", "H", "N", "Ni"}
+    # the cached bare frame is untouched
+    assert "elements" not in traj.frames[0].system
 
 
 def test_get_frames_ranges(traj):
@@ -65,9 +68,10 @@ def test_analysis_and_resume(traj, tmp_path):
 
 def test_frame_independence_matches_single(traj):
     """Frame 0 analysed via trajectory == analysed via Molecule API."""
-    molsys = traj.get_frames(0, override=True)[0]
-    molsys.swap_atom_keys({"he": "H"})
-    molsys.decipher_atom_keys("OPLS")
+    traj.analysis(frames=[0], forcefield="opls", swap_atoms={"he": "H"})
+    molsys = traj.get_frames(
+        0, swap_atoms={"he": "H"}, forcefield="OPLS"
+    )[0]
     mol = molsys.system_to_molecule()
     props = mol.full_analysis()
     traj_props = traj.analysis_output[0]["0"]

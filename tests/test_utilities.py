@@ -86,9 +86,10 @@ def test_sharded_batch_over_virtual_mesh(cc3_arrays):
 
 
 def test_graft_entry_dryrun():
+    import pathlib
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)

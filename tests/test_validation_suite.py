@@ -37,8 +37,12 @@ def test_windows_validation_suite(case):
     )
     # centres match the golden set pairwise (order-insensitive)
     coms = mol.properties["windows"]["centre_of_mass"]
+    taken = set()
     for g in np.asarray(GOLDEN[case]["windows_coms"]):
-        j = np.argmin(np.linalg.norm(coms - g, axis=1))
+        dists = np.linalg.norm(coms - g, axis=1)
+        order = np.argsort(dists)
+        j = next(int(k) for k in order if int(k) not in taken)
+        taken.add(j)
         np.testing.assert_allclose(coms[j], g, atol=tol)
 
 

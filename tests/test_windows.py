@@ -106,8 +106,11 @@ def test_cc3_window_centres():
     )
     # order-insensitive match via nearest-centre pairing
     assert coms.shape == (4, 3)
+    taken = set()
     for g in gold:
-        j = np.argmin(np.linalg.norm(coms - g, axis=1))
+        order = np.argsort(np.linalg.norm(coms - g, axis=1))
+        j = next(int(k) for k in order if int(k) not in taken)
+        taken.add(j)
         np.testing.assert_allclose(coms[j], g, atol=0.01)
 
 

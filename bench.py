@@ -23,9 +23,9 @@ import numpy as np
 
 REPO = pathlib.Path(__file__).parent
 HISTORY = REPO / "tests" / "data" / "HISTORY_singlemol_short"
-BATCH = 480
+BATCH = 960  # fits since the Pallas ray-sweep fusion (round 2)
 STEADY_REPS = 3
-REF_FRAMES = 2
+REF_FRAMES = 5
 
 
 def _decode_frames():
@@ -102,18 +102,40 @@ def measure_reference(systems) -> float:
     except Exception:
         return float("nan")
 
-    t0 = time.perf_counter()
-    for elements, coords in systems[:REF_FRAMES]:
+    per_frame = []
+    for elements, coords in (
+        systems * (REF_FRAMES // len(systems) + 1)
+    )[:REF_FRAMES]:
         molsys = RefSystem.load_system(
             {"elements": elements, "coordinates": coords}
         )
         mol = molsys.system_to_molecule()
+        t0 = time.perf_counter()
         mol.full_analysis()
-    dt = time.perf_counter() - t0
-    return REF_FRAMES / dt
+        per_frame.append(time.perf_counter() - t0)
+    # median per-frame time: robust to a one-off GC pause inflating the
+    # recorded speedup (or a warm cache deflating it)
+    med = float(np.median(per_frame))
+    return 1.0 / med
+
+
+def accuracy_gate() -> None:
+    """Fail the bench if any golden drifts past the 0.01 A contract.
+
+    A fast-but-wrong number must not be recordable: this runs the same
+    golden set as scripts/validate_f32.py on the live backend.
+    """
+    sys.path.insert(0, str(REPO / "scripts"))
+    from validate_f32 import run_gate
+
+    report = run_gate()
+    if not report["pass"]:
+        print(json.dumps({"error": "accuracy gate failed", **report}))
+        raise SystemExit(1)
 
 
 def main() -> None:
+    accuracy_gate()
     systems = _decode_frames()
     tpu_fps = measure_tpu(systems)
     ref_fps = measure_reference(systems)

@@ -148,6 +148,7 @@ def brute_then_polish(
     maxiter: int = 400,
     xatol: float = 1e-4,
     fatol: float = 1e-4,
+    f_batch: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dense 2-D grid minimisation followed by a Nelder-Mead polish.
 
@@ -156,6 +157,11 @@ def brute_then_polish(
     both endpoints included; the polish starts from the best grid point
     with scipy's default initial-simplex rule and fmin's default
     tolerances (xtol=ftol=1e-4).
+
+    ``f_batch``: optional fused (K, d) -> (K,) evaluator for the grid
+    pass (callers route it through a Pallas kernel on TPU so the
+    (grid, atoms) clearance intermediate stays out of HBM); the polish
+    always uses the scalar ``f``.
     """
     gx = jnp.linspace(lower[0], upper[0], ns)
     gy = jnp.linspace(lower[1], upper[1], ns)
@@ -166,8 +172,16 @@ def brute_then_polish(
         ],
         axis=-1,
     )  # row-major (x outer) like np.mgrid -> argmin tie behaviour matches
-    fg = jax.vmap(f)(grid)
-    x0 = grid[jnp.argmin(fg)]
+    fg = f_batch(grid) if f_batch is not None else jax.vmap(f)(grid)
+    # one-hot contraction, NOT grid[argmin]: a batched dynamic gather
+    # under nested vmap lowers to a (ns^2, ns^2) one-hot select per
+    # window (~9 MB/frame measured on CC3) and was the pipeline's
+    # single largest HBM temp.  argmin keeps scipy's first-min ties.
+    i = jnp.argmin(fg)
+    sel = jnp.arange(fg.shape[0]) == i
+    # masked sum, not a one-hot matmul: TPU f32 matmuls default to bf16
+    # multiplies, which would round the selected grid point itself.
+    x0 = jnp.sum(jnp.where(sel[:, None], grid, 0.0), axis=0)
     return nelder_mead(
         f, x0, xatol=xatol, fatol=fatol, maxiter=maxiter
     )

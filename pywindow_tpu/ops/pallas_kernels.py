@@ -1,20 +1,28 @@
-"""Pallas TPU kernel for the vdW clearance field.
+"""Pallas TPU kernels for the vdW clearance field and the ray sweep.
 
 ``clearance(p) = min_i(||x_i - p|| - vdw_i)`` is the framework's hot
-primitive (see ops/geometry.py).  This module provides a hand-tiled
-Pallas implementation that keeps the molecule resident in VMEM and
-streams probe tiles through the VPU, as an alternative to the
-XLA-fused jnp version.
+primitive (see ops/geometry.py).  This module provides hand-tiled
+Pallas implementations that keep the molecule resident in VMEM and
+stream probe/ray tiles through the VPU:
 
-Honest status (see tests/test_pallas.py and CLAUDE.md): the analysis
-pipeline is latency-bound on optimiser loops, not clearance compute, so
-it is NOT routed through this kernel — XLA's fusion is already at the
-bandwidth limit there.  This is a standalone primitive for the large-N
-regime (thousands of atoms, measured 2.1x at Q=65536/N=4096, bitwise
-equal to the jnp path) for callers whose workloads are clearance-bound.
+- :func:`clearance_min_pallas` — standalone clearance field (large-N
+  regime; measured 2.1x at Q=65536/N=4096, bitwise equal to jnp).
+- :func:`path_sweep_pallas` — the fused ray-path sweep behind
+  ``ops.rays.path_analysis``.  The jnp formulation materialises a
+  ``(B, P*L, N)`` distance intermediate in HBM (the round-1 batch
+  ceiling: allocation failure at B=1920 on CC3); this kernel walks the
+  L path steps in-kernel and reduces each ray to (ok, argmin step,
+  min clearance), so nothing larger than ``(B, P, N)-per-step-tile``
+  ever exists — and that lives in VMEM, not HBM.
+
+The analysis pipeline's *latency* is optimiser while_loops, not
+clearance compute, so ``clearance_min_pallas`` stays unrouted; the ray
+sweep routing is about HBM capacity (batch ceiling), not speed.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +52,7 @@ def clearance_min_pallas(
     q, _ = probes.shape
     n = coords.shape[0]
     dtype = probes.dtype
+    tile_q = min(tile_q, _round_up(max(q, 8), 8))
     q_pad = _round_up(max(q, 8), tile_q)
     n_pad = _round_up(max(n, 128), 128)
 
@@ -86,3 +95,229 @@ def clearance_min_pallas(
         interpret=interpret,
     )(probes_p, coords_p, vdw_p.reshape(1, n_pad))
     return out[:q, 0]
+
+
+@functools.lru_cache(maxsize=8)
+def _pick_tile_p(n_pad: int) -> int:
+    """Ray-tile size keeping the per-step (tile_p, N) working set ~<=4MB
+    of VMEM (v5e has ~16MB/core; leave room for atoms + double buffers)."""
+    tile = 512
+    while tile > 8 and tile * n_pad * 4 > 4 * 1024 * 1024:
+        tile //= 2
+    return tile
+
+
+def path_sweep_pallas(
+    vectors: jnp.ndarray,  # (P, 3) ray end points (path start = origin)
+    chunks: jnp.ndarray,  # (P,) int32 path chunk counts (>= 1)
+    coords: jnp.ndarray,  # (N, 3) atom coordinates (padded slots ~1e6)
+    vdw: jnp.ndarray,  # (N,) vdW radii (padded slots 0)
+    max_steps: int,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused ray-path sweep: per ray (all_clear, argmin step, min clearance).
+
+    Walks each ray in ``max_steps`` clearance evaluations at
+    ``l * vector / chunks`` (l = 0..max_steps-1, steps beyond ``chunks``
+    masked), reducing over path steps AND atoms in-kernel so the
+    ``(P, max_steps, N)`` intermediate of the jnp formulation never
+    reaches HBM.  Matches ``ops.rays.path_analysis`` semantics exactly
+    (reference behaviour: utilities.py:1100-1129); padded atoms follow
+    the MolArrays convention (coords ~1e6, vdw 0) and cannot win the
+    min.  Returns float arrays: (ok (P,), pos (P,), cmin (P,)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = vectors.shape[0]
+    n = coords.shape[0]
+    dtype = vectors.dtype
+    big = 1.0e30  # python float: jnp scalars become captured consts in-kernel
+
+    n_pad = _round_up(max(n, 128), 128)
+    # cap the ray tile at the (8-aligned) ray count: the W-slot
+    # refinement sweep has P~16 and must not pad to a 512-ray tile.
+    tile_p = min(_pick_tile_p(n_pad), _round_up(max(p, 8), 8))
+    p_pad = _round_up(max(p, 8), tile_p)
+
+    vectors_p = jnp.zeros((p_pad, 3), dtype).at[:p].set(vectors)
+    # padded rays walk the zero vector with chunks=1: clearance at the
+    # origin, finite and harmless; results are sliced off below.
+    chunksf_p = (
+        jnp.ones((p_pad, 1), dtype)
+        .at[:p, 0]
+        .set(chunks.astype(dtype))
+    )
+    coords_t = jnp.full((3, n_pad), 1.0e6, dtype).at[:, :n].set(coords.T)
+    vdw_p = jnp.zeros((1, n_pad), dtype).at[0, :n].set(vdw)
+
+    def kernel(v_ref, ch_ref, x_ref, r_ref, ok_ref, pos_ref, cmin_ref):
+        v = v_ref[:]  # (tile_p, 3)
+        ch = ch_ref[:]  # (tile_p, 1)
+        r = r_ref[:]  # (1, n_pad)
+
+        def body(step, carry):
+            ok, pos, cmin = carry
+            lf = step.astype(dtype)
+            frac = lf / ch  # (tile_p, 1) — same div as the jnp path
+            acc = None
+            for k in range(3):
+                d = v[:, k : k + 1] * frac - x_ref[k : k + 1, :]
+                acc = d * d if acc is None else acc + d * d
+            c = jnp.sqrt(acc) - r  # (tile_p, n_pad)
+            cl = jnp.min(c, axis=1, keepdims=True)  # (tile_p, 1)
+            validl = lf <= ch
+            ok = ok * jnp.where((cl > 0.0) | ~validl, 1.0, 0.0)
+            cm = jnp.where(validl, cl, jnp.full_like(cl, big))
+            better = cm < cmin
+            cmin = jnp.where(better, cm, cmin)
+            pos = jnp.where(better, lf, pos)
+            return ok, pos, cmin
+
+        ok0 = jnp.ones((v.shape[0], 1), dtype)
+        pos0 = jnp.zeros((v.shape[0], 1), dtype)
+        cmin0 = jnp.full((v.shape[0], 1), big, dtype)
+        ok, pos, cmin = jax.lax.fori_loop(
+            0, max_steps, body, (ok0, pos0, cmin0)
+        )
+        ok_ref[:] = ok
+        pos_ref[:] = pos
+        cmin_ref[:] = cmin
+
+    out_spec = pl.BlockSpec(
+        (tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    ok, pos, cmin = pl.pallas_call(
+        kernel,
+        grid=(p_pad // tile_p,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_p, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((p_pad, 1), dtype),
+            jax.ShapeDtypeStruct((p_pad, 1), dtype),
+            jax.ShapeDtypeStruct((p_pad, 1), dtype),
+        ),
+        interpret=interpret,
+    )(vectors_p, chunksf_p, coords_t, vdw_p)
+    return ok[:p, 0], pos[:p, 0], cmin[:p, 0]
+
+
+def ray_exit_pallas(
+    unit: jnp.ndarray,  # (P, 3) unit ray directions
+    rel: jnp.ndarray,  # (N, 3) atom coords relative to the ray origin
+    #                    (padded slots zeroed, per MolArrays masking)
+    vdw: jnp.ndarray,  # (N,) vdW radii (padded slots 0)
+    origin: jnp.ndarray,  # (3,) ray origin in the molecule frame
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused analytic ray/vdW-sphere intersection reduction.
+
+    Per ray: does ANY sphere block it from the front, and what is the
+    farthest 'exit' intersection distance from the frame origin
+    (reference: utilities.py:1132-1161 ``vector_preanalysis`` and
+    :1556-1583 ``vector_analysis_reversed``).  The jnp formulation
+    (ops.rays.ray_sphere_intersections) materialises (P, N, 3)
+    intermediates in HBM; here everything reduces over atoms in-kernel.
+
+    Returns float arrays (any_front (P,), max_exit (P,)); rays with no
+    front intersection report max_exit = -1e30.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = unit.shape[0]
+    n = rel.shape[0]
+    dtype = unit.dtype
+    big = 1.0e30
+
+    n_pad = _round_up(max(n, 128), 128)
+    # cap the ray tile at the (8-aligned) ray count: the W-slot
+    # refinement sweep has P~16 and must not pad to a 512-ray tile.
+    tile_p = min(_pick_tile_p(n_pad), _round_up(max(p, 8), 8))
+    p_pad = _round_up(max(p, 8), tile_p)
+
+    unit_p = jnp.zeros((p_pad, 3), dtype).at[:p].set(unit)
+    # padded atoms: rel 0 / vdw 0 -> under_sqrt = 0 -> never a hit
+    rel_t = jnp.zeros((3, n_pad), dtype).at[:, :n].set(rel.T)
+    vdw_p = jnp.zeros((1, n_pad), dtype).at[0, :n].set(vdw)
+    org = jnp.zeros((1, 3), dtype).at[0].set(origin)
+
+    def kernel(u_ref, x_ref, r_ref, o_ref, anyf_ref, mexit_ref):
+        u = u_ref[:]  # (tile_p, 3)
+        r = r_ref[:]  # (1, n_pad)
+
+        t_ca = None
+        for k in range(3):
+            t = u[:, k : k + 1] * x_ref[k : k + 1, :]
+            t_ca = t if t_ca is None else t_ca + t  # (tile_p, n_pad)
+        d2 = None
+        for k in range(3):
+            perp = x_ref[k : k + 1, :] - t_ca * u[:, k : k + 1]
+            d2 = perp * perp if d2 is None else d2 + perp * perp
+        under = r * r - d2
+        hits = under > 0.0
+        t_hc = jnp.sqrt(jnp.where(hits, under, 0.0))
+        t0 = t_ca - t_hc
+        t1 = t_ca + t_hc
+        p0n2 = None
+        p1n2 = None
+        for k in range(3):
+            ok_ = o_ref[0:1, k : k + 1]  # (1, 1), broadcasts
+            a = ok_ + t0 * u[:, k : k + 1]
+            b = ok_ + t1 * u[:, k : k + 1]
+            p0n2 = a * a if p0n2 is None else p0n2 + a * a
+            p1n2 = b * b if p1n2 is None else p1n2 + b * b
+        front = hits & (p0n2 < p1n2)
+        anyf_ref[:] = jnp.max(
+            jnp.where(front, 1.0, 0.0), axis=1, keepdims=True
+        )
+        exit_norm = jnp.sqrt(p1n2)
+        mexit_ref[:] = jnp.max(
+            jnp.where(front, exit_norm, -big), axis=1, keepdims=True
+        )
+
+    out_spec = pl.BlockSpec(
+        (tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    anyf, mexit = pl.pallas_call(
+        kernel,
+        grid=(p_pad // tile_p,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_p, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((p_pad, 1), dtype),
+            jax.ShapeDtypeStruct((p_pad, 1), dtype),
+        ),
+        interpret=interpret,
+    )(unit_p, rel_t, vdw_p, org)
+    return anyf[:p, 0], mexit[:p, 0]

@@ -155,11 +155,34 @@ def ray_sphere_intersections(
     return RayIntersections(hits=hits, front=front, exit_norm=exit_norm)
 
 
-def preanalysis_open(points: jnp.ndarray, mol: MolArrays) -> jnp.ndarray:
+def _ray_exit_fused(
+    points: jnp.ndarray, mol: MolArrays
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(any_front, max_exit) per ray via the fused Pallas kernel."""
+    from pywindow_tpu.ops.pallas_kernels import ray_exit_pallas
+
+    norm = jnp.linalg.norm(points, axis=-1, keepdims=True)
+    unit = points / norm
+    origin = center_of_coor(mol)
+    rel = jnp.where(
+        mol.mask[..., None], mol.coords - origin[..., None, :], 0.0
+    )
+    anyf, mexit = ray_exit_pallas(unit, rel, mol.vdw, origin)
+    return anyf > 0.5, mexit
+
+
+def preanalysis_open(
+    points: jnp.ndarray, mol: MolArrays, use_pallas: bool | None = None
+) -> jnp.ndarray:
     """True for rays with zero blocking ('front') sphere intersections.
 
     reference: utilities.py:1132-1161 (``vector_preanalysis``).
     """
+    if use_pallas is None:
+        use_pallas = _route_path_to_pallas(points.shape[-2])
+    if use_pallas:
+        anyf, _ = _ray_exit_fused(points, mol)
+        return ~anyf
     inter = ray_sphere_intersections(points, mol)
     return ~jnp.any(inter.front, axis=-1)
 
@@ -173,11 +196,27 @@ class PathAnalysis(NamedTuple):
     narrow: jnp.ndarray  # (..., P, 3) coordinates of the narrowest point
 
 
+def _route_path_to_pallas(n_rays: int) -> bool:
+    """Route the path sweep to the fused Pallas kernel?
+
+    On TPU, always (the jnp formulation's (B, P*L, N) HBM intermediates
+    are the batch ceiling; even the W-slot refinement sweep adds a
+    (B, W, L2, N) block).  ``PYWINDOW_TPU_NO_PALLAS=1`` disables
+    routing entirely (debug escape hatch).
+    """
+    import os
+
+    if os.environ.get("PYWINDOW_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu" and n_rays >= 8
+
+
 def path_analysis(
     vectors: jnp.ndarray,
     mol: MolArrays,
     increment: float,
     max_steps: int,
+    use_pallas: bool | None = None,
 ) -> PathAnalysis:
     """Walk each vector from the origin in ``increment`` steps.
 
@@ -185,40 +224,61 @@ def path_analysis(
     the ``chunks + 1`` points ``i * v / chunks`` and the ray is open iff
     every clearance is positive (reference: utilities.py:1100-1129).
     ``max_steps`` is the static padding bound (must exceed any chunks+1).
+
+    ``use_pallas=None`` auto-routes large sweeps on TPU through the
+    fused :func:`~pywindow_tpu.ops.pallas_kernels.path_sweep_pallas`
+    kernel, which never materialises the (P, L, N) intermediate in HBM.
     """
     norm = jnp.linalg.norm(vectors, axis=-1)  # (..., P)
     chunks = jnp.maximum(
         jnp.floor(norm / increment).astype(jnp.int32), 1
     )  # (..., P)
-    steps = jnp.arange(max_steps, dtype=vectors.dtype)  # (L,)
-    frac = steps / chunks[..., None].astype(vectors.dtype)  # (..., P, L)
-    pathway = vectors[..., None, :] * frac[..., None]  # (..., P, L, 3)
-    valid = steps.astype(jnp.int32) <= chunks[..., None]  # (..., P, L)
+    if use_pallas is None:
+        use_pallas = _route_path_to_pallas(vectors.shape[-2])
 
-    # clearance at every path point: flatten P*L probe points per molecule.
-    flat = pathway.reshape(*pathway.shape[:-3], -1, 3)
-    c = clearance_field(flat, mol).reshape(pathway.shape[:-1])  # (...,P,L)
+    if use_pallas:
+        from pywindow_tpu.ops.pallas_kernels import path_sweep_pallas
 
-    ok = jnp.all((c > 0.0) | ~valid, axis=-1)
-    c_masked = jnp.where(valid, c, BIG)
-    pos = jnp.argmin(c_masked, axis=-1)  # (..., P)
-    width = 2.0 * jnp.take_along_axis(c_masked, pos[..., None], axis=-1)[
-        ..., 0
-    ]
-    posf = pos.astype(vectors.dtype)
+        okf, posf, cmin = path_sweep_pallas(
+            vectors, chunks, mol.coords, mol.vdw, max_steps
+        )
+        ok = okf > 0.5
+        width = 2.0 * cmin
+    else:
+        steps = jnp.arange(max_steps, dtype=vectors.dtype)  # (L,)
+        frac = steps / chunks[..., None].astype(vectors.dtype)
+        pathway = vectors[..., None, :] * frac[..., None]  # (..., P, L, 3)
+        valid = steps.astype(jnp.int32) <= chunks[..., None]  # (..., P, L)
+
+        # clearance at every path point: P*L probe points per molecule.
+        flat = pathway.reshape(*pathway.shape[:-3], -1, 3)
+        c = clearance_field(flat, mol).reshape(pathway.shape[:-1])
+
+        ok = jnp.all((c > 0.0) | ~valid, axis=-1)
+        c_masked = jnp.where(valid, c, BIG)
+        pos = jnp.argmin(c_masked, axis=-1)  # (..., P)
+        width = 2.0 * jnp.take_along_axis(
+            c_masked, pos[..., None], axis=-1
+        )[..., 0]
+        posf = pos.astype(vectors.dtype)
+
     dist = norm * posf / chunks.astype(vectors.dtype)
     narrow = vectors * (posf / chunks.astype(vectors.dtype))[..., None]
     return PathAnalysis(ok=ok, dist=dist, width=width, narrow=narrow)
 
 
 def reversed_exit_distance(
-    points: jnp.ndarray, mol: MolArrays
+    points: jnp.ndarray, mol: MolArrays, use_pallas: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Farthest vdW-sphere exit along each ray, for the average diameter.
 
     Only 'front' intersections count; per ray the maximum ``|p1|`` wins
     (reference: utilities.py:1556-1583).  Returns (has_any, distance).
     """
+    if use_pallas is None:
+        use_pallas = _route_path_to_pallas(points.shape[-2])
+    if use_pallas:
+        return _ray_exit_fused(points, mol)
     inter = ray_sphere_intersections(points, mol)
     has = jnp.any(inter.front, axis=-1)
     dist = jnp.max(

@@ -124,21 +124,18 @@ def _rot_y(angle: jnp.ndarray) -> jnp.ndarray:
 def _window_refine(
     mol: MolArrays,
     vector: jnp.ndarray,
-    l2: int,
+    ok: jnp.ndarray,
+    new_z: jnp.ndarray,
     cfg: AnalysisConfig,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Refine one window from its widest sampling ray.
 
     Returns (diameter, centre (3,), ok).  ``mol`` is the pore-centred
-    molecule; ``vector`` the cluster's widest ray (a spiral point).
+    molecule; ``vector`` the cluster's widest ray (a spiral point);
+    ``ok``/``new_z`` come from the fine re-sampling of that ray (done
+    for all window slots in one batched sweep by the caller).
     """
     dtype = vector.dtype
-    refined = rays.path_analysis(
-        vector[None, :], mol, cfg.increment2, l2
-    )
-    ok = refined.ok[0]
-    new_z = refined.dist[0]
-
     a1, a2 = _octant_angles(vector)
     rz = _rot_z(a1)
     ry = _rot_y(a2)
@@ -285,19 +282,27 @@ def find_windows(
     # fast rather than stalling the vmapped batch at max iterations.
     fallback_sel = jnp.argmax(jnp.where(survives, path.width, -BIG))
 
-    def per_cluster(w):
-        in_cluster = labels == w
-        width_masked = jnp.where(in_cluster, path.width, -BIG)
-        exists = (w < n_clusters) & jnp.any(in_cluster)
-        sel = jnp.where(exists, jnp.argmax(width_masked), fallback_sel)
-        vector = points[sel]
-        diameter, centre_local, ok = _window_refine(shifted, vector, l2, cfg)
-        return diameter, centre_local, exists, exists & ~ok
+    # widest-ray selection + fine 0.1A re-sampling for ALL window slots
+    # in one batched sweep: one (W, L2, N) pass (Pallas-routable on TPU)
+    # instead of W separate (1, L2, N) HBM intermediates.
+    w_ids = jnp.arange(cfg.max_windows, dtype=jnp.int32)
+    in_cluster = labels[None, :] == w_ids[:, None]  # (W, P)
+    width_masked = jnp.where(in_cluster, path.width[None, :], -BIG)
+    exists = (w_ids < n_clusters) & jnp.any(in_cluster, axis=-1)
+    sel = jnp.where(exists, jnp.argmax(width_masked, axis=-1), fallback_sel)
+    vectors = points[sel]  # (W, 3)
+    refined = rays.path_analysis(vectors, shifted, cfg.increment2, l2)
+
+    def per_cluster(vector, r_ok, r_dist, ex):
+        diameter, centre_local, ok = _window_refine(
+            shifted, vector, r_ok, r_dist, cfg
+        )
+        return diameter, centre_local, ex, ex & ~ok
 
     # vmap (not lax.map): the refinement optimisers are tiny per-lane,
     # so running all window slots lockstep beats a serial scan ~10x.
     diams, centres, exists, failed = jax.vmap(per_cluster)(
-        jnp.arange(cfg.max_windows, dtype=jnp.int32)
+        vectors, refined.ok, refined.dist, exists
     )
     valid = exists & ~failed
     centres = centres + centre[None, :]

@@ -58,9 +58,9 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
     return jax.jit(batched, in_shardings=(shardings,))
 
 
-#: HBM working budget for auto-sizing (v5e has 16 GiB; leave headroom
-#: for XLA workspace and the programs themselves).
-HBM_BUDGET_BYTES = int(11 * 1024**3)
+#: HBM working budget for auto-sizing (v5e has 15.75 GiB usable; leave
+#: headroom for XLA workspace and the programs themselves).
+HBM_BUDGET_BYTES = int(14 * 1024**3)
 
 
 def max_safe_batch(
@@ -69,21 +69,27 @@ def max_safe_batch(
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     hbm_budget: int = HBM_BUDGET_BYTES,
 ) -> int:
-    """Largest batch that keeps the dominant fused intermediate in HBM.
+    """Largest batch that keeps the pipeline's HBM temps in budget.
 
-    The coarse ray sweep materialises a (B, P*L1, N_pad) float32 product
-    (observed in XLA allocation failures); window refinement adds
-    (B, W, L2, N_pad).  Solving the budget for B bounds the batch.
+    With the ray sweeps fused into Pallas kernels (no (B, P*L, N)
+    products) and the brute-grid gather fixed, the measured per-frame
+    temp model is dominated by the DBSCAN (P, P) label-propagation
+    buffers plus the window refinement's live (W, L2, N_pad) sets:
+
+        per_frame ~ 4 bytes * (2 * P^2 + W * L2 * N_pad)
+
+    (calibrated on CC3 6.46 MB / MIBQAR-REYMAL 12.82 MB per frame via
+    ``compiled.memory_analysis()``; coefficients padded ~15% here).
     """
     from pywindow_tpu.config import pad_multiple
     from pywindow_tpu.ops.encoding import round_up
 
     n_pad = round_up(max(n_atoms, 1), pad_multiple())
-    n_win, _, l1, l2 = static_sizes(max_diameter, cfg)
-    per_frame = 4 * n_pad * (
-        n_win * l1 + cfg.max_windows * l2
+    n_win, _, _, l2 = static_sizes(max_diameter, cfg)
+    per_frame = 4.0 * (
+        2.2 * n_win * n_win + 1.2 * cfg.max_windows * l2 * n_pad
     )
-    return max(1, int(hbm_budget // max(per_frame, 1)))
+    return max(1, int(hbm_budget // max(int(per_frame), 1)))
 
 
 def _largest_exact_maxd(systems, bounds) -> float:

@@ -56,7 +56,12 @@ def load(name):
     return np.array(els), np.array(co)
 
 
-def main():
+def run_gate() -> dict:
+    """Run the golden set on the live backend; return the error report.
+
+    Importable (bench.py gates its recorded number on this) as well as
+    runnable as a script.
+    """
     import jax
 
     backend = jax.default_backend()
@@ -86,6 +91,11 @@ def main():
     report["worst_abs_error"] = round(worst, 6)
     report["contract"] = "< 0.01 A"
     report["pass"] = bool(worst < 0.01)
+    return report
+
+
+def main():
+    report = run_gate()
     print(json.dumps(report, indent=1))
     if not report["pass"]:
         raise SystemExit(1)

@@ -52,3 +52,94 @@ def test_pallas_respects_padding_convention():
         clearance_min_pallas(probes, coords, vdw, interpret=True)
     )
     np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+def _random_mol(n, seed, pad_to=None):
+    rng = np.random.default_rng(seed)
+    coords = rng.normal(size=(n, 3)) * 8
+    vdw = rng.uniform(1.2, 2.0, n)
+    mol = encoding.MolArrays(
+        coords=coords, mass=vdw, vdw=vdw, cov=vdw, mask=np.ones(n, bool)
+    )
+    if pad_to:
+        pad = pad_to - n
+        mol = encoding.MolArrays(
+            coords=np.concatenate(
+                [coords, np.full((pad, 3), encoding.FAR_AWAY)]
+            ),
+            mass=np.concatenate([vdw, np.zeros(pad)]),
+            vdw=np.concatenate([vdw, np.zeros(pad)]),
+            cov=np.concatenate([vdw, np.zeros(pad)]),
+            mask=np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]),
+        )
+    return mol
+
+
+@pytest.mark.parametrize(
+    ("p", "n", "l"), [(64, 40, 12), (797, 168, 16), (16, 424, 144)]
+)
+def test_path_sweep_pallas_matches_jnp(p, n, l):
+    """Fused path sweep == jnp path_analysis (ok bitwise, width ~f32)."""
+    from pywindow_tpu.ops import rays
+
+    mol = _random_mol(n, seed=p + n, pad_to=((n + 63) // 64) * 64)
+    pts = np.asarray(
+        rays.golden_spiral(p, 9.5, dtype=mol.coords.dtype)
+    )
+    ref = rays.path_analysis(pts, mol, 1.0, l, use_pallas=False)
+    got = rays.path_analysis(pts, mol, 1.0, l, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(ref.ok), np.asarray(got.ok))
+    np.testing.assert_allclose(
+        np.asarray(got.width), np.asarray(ref.width), atol=2e-5
+    )
+    # identical argmin step -> identical narrow-point geometry
+    np.testing.assert_array_equal(
+        np.asarray(ref.dist), np.asarray(got.dist)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.narrow), np.asarray(got.narrow)
+    )
+
+
+def test_ray_exit_pallas_matches_jnp():
+    """Fused intersection reduction == jnp pre/reversed analysis."""
+    from pywindow_tpu.ops import rays
+
+    mol = _random_mol(120, seed=7, pad_to=128)
+    pts = np.asarray(rays.golden_spiral(300, 14.0, dtype=np.float64))
+    open_ref = np.asarray(rays.preanalysis_open(pts, mol, use_pallas=False))
+    open_got = np.asarray(rays.preanalysis_open(pts, mol, use_pallas=True))
+    np.testing.assert_array_equal(open_ref, open_got)
+
+    has_ref, d_ref = rays.reversed_exit_distance(pts, mol, use_pallas=False)
+    has_got, d_got = rays.reversed_exit_distance(pts, mol, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(has_ref), np.asarray(has_got))
+    d_ref, d_got = np.asarray(d_ref), np.asarray(d_got)
+    np.testing.assert_allclose(
+        d_got[np.asarray(has_ref)], d_ref[np.asarray(has_ref)], atol=1e-6
+    )
+
+
+def test_path_sweep_pallas_under_vmap():
+    """The routed sweep composes with vmap over a molecule batch."""
+    import jax
+
+    from pywindow_tpu.ops import rays
+
+    mols = [_random_mol(50, seed=s, pad_to=64) for s in range(3)]
+    batch = encoding.MolArrays(
+        *(np.stack([np.asarray(getattr(m, f)) for m in mols])
+          for f in encoding.MolArrays._fields)
+    )
+    pts = np.asarray(rays.golden_spiral(128, 9.0, dtype=np.float64))
+    f_ref = jax.jit(
+        jax.vmap(lambda m: rays.path_analysis(pts, m, 1.0, 12, use_pallas=False))
+    )
+    f_got = jax.jit(
+        jax.vmap(lambda m: rays.path_analysis(pts, m, 1.0, 12, use_pallas=True))
+    )
+    ref, got = f_ref(batch), f_got(batch)
+    np.testing.assert_array_equal(np.asarray(ref.ok), np.asarray(got.ok))
+    np.testing.assert_allclose(
+        np.asarray(got.width), np.asarray(ref.width), atol=2e-5
+    )

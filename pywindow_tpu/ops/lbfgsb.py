@@ -1,31 +1,45 @@
 """Batched on-device bounded minimiser mimicking scipy's L-BFGS-B.
 
 The reference optimises the pore centre and the window z coordinate with
-``scipy.optimize.minimize(..., bounds=...)`` — Fortran L-BFGS-B with
-2-point finite-difference gradients and the Moré–Thuente (MINPACK-2
-``dcsrch``/``dcstep``) line search (reference: utilities.py:400-426,
-:1301-1305).  The objectives are piecewise-smooth clearance fields; where
-they stop on a kink ridge is determined by those exact algorithmic
-details, so golden-value parity requires reproducing them, not merely
-optimising better.  This module is a faithful jnp port:
+``scipy.optimize.minimize(..., bounds=...)`` — L-BFGS-B (the C
+translation of the Fortran 3.0 code) with 2-point finite-difference
+gradients and the Moré–Thuente (MINPACK-2 ``dcsrch``/``dcstep``) line
+search (reference: utilities.py:400-426, :1301-1305).  The objectives
+are piecewise-smooth clearance fields; where they stop on a kink ridge
+is determined by those exact algorithmic details, so golden-value parity
+requires reproducing them, not merely optimising better.  This module is
+a faithful jnp port of the full algorithm:
 
-* 2-point forward FD gradients with scipy's step rule
-  ``h_i = sqrt(eps_f64) * max(1, |x_i|) * sign(x_i)``,
-* the dcsrch line search with ``ftol=1e-3, gtol=0.9, xtol=0.1`` and the
-  L-BFGS-B step/stpmax initialisation,
-* L-BFGS two-loop with m=10 ring history and the curvature skip rule,
-* termination on ``pgtol`` (projected gradient) and ``factr`` (relative f
-  reduction), matching scipy defaults.
+* 2-point FD gradients with scipy's exact stepping: absolute step
+  ``eps=1e-8`` (the L-BFGS-B default when ``jac=None``), falling back to
+  the relative rule ``sqrt(eps_dtype) * sign(x) * max(1, |x|)`` when the
+  absolute step underflows the working dtype, then bound-adjusted by the
+  ``_adjust_scheme_to_bounds`` 1-sided rules (sign flip / truncation),
+* the generalized Cauchy point (``cauchy``): breakpoint walk along the
+  projected steepest-descent path of the quadratic model,
+* subspace minimisation (``subsm``, 3.0 semantics): Newton step of the
+  model over the free variables, with the projection-then-sign-test and
+  the truncated-alpha fallback including the exact bound snap,
+* the dcsrch line search with ``ftol=1e-3, gtol=0.9, xtol=0.1``, the
+  lnsrlb step/stpmax rules (first constrained iteration capped at 1),
+* the mainlb restart machinery: a line-search failure with stored pairs
+  wipes the memory and retries from the same iterate (iteration count
+  unchanged); a failure with no history terminates,
+* the curvature skip rule and ``theta = y'y / y's`` scaling,
+* termination on ``pgtol`` (projected gradient) and ``factr`` (relative
+  f reduction), in mainlb's order, matching scipy defaults.
 
-Everything is ``lax.while_loop`` state-machine code: jit-able and
-``vmap``-able across molecules / windows / frames (converged lanes hold
-their state while the rest finish).  Validated against scipy L-BFGS-B to
-<3e-4 on the six reference cages (see tests/test_optim.py).
+The limited-memory matrix ``B_k`` is built by applying the (at most m)
+stored BFGS updates to ``theta_k * I`` in chronological order — exactly
+the matrix the Fortran code represents in Byrd–Nocedal–Schnabel compact
+form, but assembled as n×n (n ≤ 3 here) dense updates, which is far
+cheaper inside a TPU ``lax.while_loop`` than the 2m×2m middle-matrix
+solve (see tests/test_optim.py::test_bfgs_recursion_matches_compact).
 
-The only simplification vs the Fortran code: the gradient-projection /
-subspace-minimisation machinery for *active* bounds is replaced by exact
-feasible-step clipping (``stpmax`` = distance to the box along the search
-direction).  The reference's optima are interior, where the two coincide.
+Everything is ``lax.while_loop``/``lax.fori_loop`` state-machine code:
+jit-able and ``vmap``-able across molecules / windows / frames.
+Validated against scipy L-BFGS-B on the six reference cages (interior
+optima) and on bound-pinned problems (see tests/test_optim.py).
 """
 
 from __future__ import annotations
@@ -42,7 +56,9 @@ _XTOL = 0.1
 _XTRAPL = 1.1
 _XTRAPU = 4.0
 _EPS64 = 2.220446049250313e-16
-# FD steps are dtype-aware — see _fd_value_and_grad.
+# scipy _minimize_lbfgsb default FD step (absolute; jac=None path).
+_FD_ABS_STEP = 1e-8
+_M = 10  # scipy maxcor default
 
 
 class _StepState(NamedTuple):
@@ -150,24 +166,49 @@ def _dcstep(st: _StepState, fp, dp, stpmin, stpmax) -> _StepState:
     return _StepState(stx_n, fx_n, dx_n, sty_n, fy_n, dy_n, stpf, new_brackt)
 
 
-def _fd_value_and_grad(f_batch: Callable, x: jnp.ndarray):
-    """f(x) and scipy-style 2-point forward-difference gradient.
+def _fd_value_and_grad(
+    f_batch: Callable, x: jnp.ndarray, lower: jnp.ndarray, upper: jnp.ndarray
+):
+    """f(x) and scipy-exact 2-point forward-difference gradient.
+
+    Mirrors scipy's ``approx_derivative`` as invoked by
+    ``_minimize_lbfgsb`` with ``jac=None`` (_lbfgsb_py.py: eps=1e-8 →
+    ScalarFunction abs_step; _numdiff.py:552-590):
+
+    * ``h = 1e-8`` absolutely, for every component;
+    * if ``(x + h) - x == 0`` in the working dtype, fall back to the
+      relative rule ``sqrt(eps_dtype) * sign(x) * max(1, |x|)``
+      (this is the live branch in TPU float32 mode);
+    * 1-sided bound adjustment (_numdiff._adjust_scheme_to_bounds):
+      sign-flip if the step leaves the box and the mirrored step fits,
+      else truncate to the larger one-sided distance;
+    * the divisor is the representable delta ``(x + h) - x``.
 
     ``f_batch`` maps (K, d) points to (K,) values so the d+1 evaluations
     fuse into one batched clearance kernel call.
     """
-    d = x.shape[-1]
-    # scipy's rel step sqrt(eps) — of the *working* dtype: the f64 value
-    # (1.5e-8) is below float32 resolution and would yield garbage
-    # gradients in TPU f32 mode.
-    rel = jnp.sqrt(jnp.finfo(x.dtype).eps).astype(x.dtype)
-    h = rel * jnp.maximum(1.0, jnp.abs(x)) * jnp.where(x >= 0, 1.0, -1.0)
+    dtype = x.dtype
+    sign_x0 = jnp.where(x >= 0, 1.0, -1.0).astype(dtype)
+    h = jnp.full_like(x, _FD_ABS_STEP)
+    rel = jnp.sqrt(jnp.finfo(dtype).eps).astype(dtype)
+    h_fallback = rel * sign_x0 * jnp.maximum(1.0, jnp.abs(x))
+    h = jnp.where((x + h) - x == 0, h_fallback, h)
+    # _adjust_scheme_to_bounds, scheme='1-sided', num_steps=1
+    lower_dist = x - lower
+    upper_dist = upper - x
+    violated = ((x + h) < lower) | ((x + h) > upper)
+    fitting = jnp.abs(h) <= jnp.maximum(lower_dist, upper_dist)
+    h = jnp.where(violated & fitting, -h, h)
+    h = jnp.where(~fitting & (upper_dist >= lower_dist), upper_dist, h)
+    h = jnp.where(~fitting & (upper_dist < lower_dist), -lower_dist, h)
+
     probes = jnp.concatenate(
         [x[None, :], x[None, :] + jnp.diag(h)], axis=0
     )  # (d+1, d)
     vals = f_batch(probes)
     fx = vals[0]
-    g = (vals[1:] - fx) / h
+    dx = (x + h) - x  # representable delta, as in _dense_difference
+    g = (vals[1:] - fx) / dx
     return fx, g
 
 
@@ -179,14 +220,16 @@ class _SearchResult(NamedTuple):
     failed: jnp.ndarray
 
 
-def _dcsrch(f_batch, x, d, f0, g_vec0, stp0, stpmax_feasible, maxfev=20):
+def _dcsrch(
+    f_batch, x, d, f0, g_vec0, stp0, stpmax_feasible, lower, upper, maxfev=20
+):
     """Moré–Thuente line search along d from x (phi(t) = f(x + t d))."""
     dtype = f0.dtype
-    g0 = jnp.vdot(g_vec0, d)
+    g0 = _dot(g_vec0, d)
     gtest = _FTOL * g0
 
     def phi(stp):
-        fx, g = _fd_value_and_grad(f_batch, x + stp * d)
+        fx, g = _fd_value_and_grad(f_batch, x + stp * d, lower, upper)
         return fx, g
 
     stpmin = jnp.asarray(0.0, dtype)
@@ -227,7 +270,7 @@ def _dcsrch(f_batch, x, d, f0, g_vec0, stp0, stpmax_feasible, maxfev=20):
     def body(state):
         (st, stage1, stmin, stmax, width, width1, nfev, done, conv, f, gvec) = state
         stp = st.stp
-        g = jnp.vdot(gvec, d)
+        g = _dot(gvec, d)
         ftest = f0 + stp * gtest
         stage1_n = stage1 & ~((f <= ftest) & (g >= 0.0))
 
@@ -315,9 +358,235 @@ def _dcsrch(f_batch, x, d, f0, g_vec0, stp0, stpmax_feasible, maxfev=20):
     (st, _, _, _, _, _, nfev, done, conv, f, gvec) = jax.lax.while_loop(
         cond, body, state0
     )
+    # dcsrch entry errors (initial derivative >= 0, stp0 beyond the
+    # bracket) map to task='ERROR' in the Fortran → mainlb's restart
+    # machinery, same as running out of evaluations.
+    entry_error = (g0 >= 0.0) | (stp0 > stpmax) | (stp0 < stpmin)
     return _SearchResult(
-        stp=st.stp, f=f, g=gvec, nfev=nfev, failed=~(done | conv)
+        stp=st.stp, f=f, g=gvec, nfev=nfev,
+        failed=(~(done | conv)) | entry_error,
     )
+
+
+def _solve_small(a, b):
+    """Solve a·x = b for d ≤ 3 in closed form (Cramer/adjugate).
+
+    ``a`` here is the L-BFGS-B model Hessian restricted to free
+    variables (positive definite, identity on fixed rows), so no
+    pivoting is needed; avoiding ``jnp.linalg.solve`` keeps the hot
+    while_loop free of LU kernels (which TPU doesn't even lower for
+    f64) and off the latency-chain critical path.
+    """
+    d = a.shape[-1]
+    if d == 1:
+        return b / a[..., 0, 0][..., None]
+    if d == 2:
+        det = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+        inv = (
+            jnp.stack(
+                [
+                    jnp.stack([a[1, 1], -a[0, 1]]),
+                    jnp.stack([-a[1, 0], a[0, 0]]),
+                ]
+            )
+            / det
+        )
+        return _matvec(inv, b)
+    if d == 3:
+        c00 = a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]
+        c01 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
+        c02 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
+        det = a[0, 0] * c00 + a[0, 1] * c01 + a[0, 2] * c02
+        c10 = a[0, 2] * a[2, 1] - a[0, 1] * a[2, 2]
+        c11 = a[0, 0] * a[2, 2] - a[0, 2] * a[2, 0]
+        c12 = a[0, 1] * a[2, 0] - a[0, 0] * a[2, 1]
+        c20 = a[0, 1] * a[1, 2] - a[0, 2] * a[1, 1]
+        c21 = a[0, 2] * a[1, 0] - a[0, 0] * a[1, 2]
+        c22 = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+        adj = jnp.stack(
+            [
+                jnp.stack([c00, c10, c20]),
+                jnp.stack([c01, c11, c21]),
+                jnp.stack([c02, c12, c22]),
+            ]
+        )
+        return _matvec(adj, b) / det
+    return jnp.linalg.solve(a, b)
+
+
+def _dot(a, b):
+    """Fixed-association small dot product.
+
+    Unrolled ``a[0]*b[0] + a[1]*b[1] + ...`` so XLA emits the identical
+    elementwise add chain whether or not the caller is vmapped: batched
+    (trajectory) and serial (single-molecule) analyses must agree
+    bitwise, and reduction ops may change association with layout.
+    Also keeps TPU float32 mode off the MXU (bf16 operand truncation
+    would wreck FD-scale gradients).
+    """
+    d = a.shape[-1]
+    if d > 8:  # pragma: no cover - optimiser dims are <= 3
+        return jnp.vdot(a, b)
+    acc = a[..., 0] * b[..., 0]
+    for i in range(1, d):
+        acc = acc + a[..., i] * b[..., i]
+    return acc
+
+
+def _matvec(a, v):
+    """d×d · d matvec via _dot rows (d ≤ 3), layout-invariant."""
+    return jnp.stack([_dot(a[i], v) for i in range(a.shape[0])])
+
+
+def _build_b(s_ord, y_ord, valid, theta, d_dim):
+    """The L-BFGS-B limited-memory matrix B_k, as an explicit (d, d) array.
+
+    Applies the stored BFGS updates to ``theta * I`` in chronological
+    order — in exact arithmetic this equals the Byrd–Nocedal–Schnabel
+    compact form ``theta*I - W M W^T`` the Fortran code factorises
+    (formk/formt), but costs only m rank-2 updates of a d×d (d ≤ 3)
+    matrix instead of a 2m×2m solve.
+    """
+    dtype = s_ord.dtype
+    b0 = theta * jnp.eye(d_dim, dtype=dtype)
+
+    def upd(k, b):
+        s = s_ord[k]
+        y = y_ord[k]
+        bs = _matvec(b, s)
+        sbs = _dot(s, bs)
+        sy = _dot(s, y)
+        bn = (
+            b
+            - jnp.outer(bs, bs) / jnp.where(sbs == 0.0, 1.0, sbs)
+            + jnp.outer(y, y) / jnp.where(sy == 0.0, 1.0, sy)
+        )
+        return jnp.where(valid[k], bn, b)
+
+    return jax.lax.fori_loop(0, s_ord.shape[0], upd, b0)
+
+
+def _cauchy(x, g, lower, upper, bmat, theta, epsmch):
+    """Generalized Cauchy point of the quadratic model (Fortran cauchy).
+
+    Walks the piecewise-linear projected steepest-descent path
+    ``P(x - t g)`` breakpoint by breakpoint, minimising the model on
+    each segment.  The segment derivative f1 and curvature f2 are
+    recomputed from the explicit B each segment (n ≤ 3 here), which is
+    mathematically identical to the Fortran's incremental updates.
+
+    Returns ``(xcp - x, free_mask)``: free variables are those still
+    moving when the Cauchy point is reached.
+    """
+    dtype = x.dtype
+    d_dim = x.shape[-1]
+    big = jnp.asarray(1e30, dtype)
+
+    # breakpoints: g>0 moves toward lower, g<0 toward upper, g==0 never.
+    safe_g = jnp.where(g == 0.0, 1.0, g)
+    t_break = jnp.where(
+        g > 0.0,
+        (x - lower) / safe_g,
+        jnp.where(g < 0.0, (x - upper) / safe_g, big),
+    )
+    moving0 = t_break > 0.0
+    d0 = jnp.where(moving0, -g, 0.0)
+    f2_org = theta * _dot(d0, d0)
+
+    def seg(_, carry):
+        z, dvec, moving, found, xcp_z, t_old = carry
+        bd = _matvec(bmat, dvec)
+        f1 = _dot(g, dvec) + _dot(z, bd)
+        f2 = jnp.maximum(_dot(dvec, bd), epsmch * f2_org)
+        dtm = -f1 / jnp.where(f2 == 0.0, 1.0, f2)
+
+        t_cand = jnp.where(moving, t_break, big)
+        b_idx = jnp.argmin(t_cand)
+        t_next = t_cand[b_idx]
+        no_more = t_next >= big
+        dt = t_next - t_old
+        inside = (dtm < dt) | no_more
+        xcp_candidate = z + jnp.maximum(dtm, 0.0) * dvec
+
+        # advance to the breakpoint: variable b lands exactly on its bound
+        z_bp = z + dt * dvec
+        zb = jnp.where(dvec[b_idx] > 0.0, upper[b_idx], lower[b_idx]) - x[b_idx]
+        z_bp = z_bp.at[b_idx].set(zb)
+        dvec_bp = dvec.at[b_idx].set(0.0)
+        moving_bp = moving.at[b_idx].set(False)
+
+        freeze = found | inside
+        return (
+            jnp.where(freeze, z, z_bp),
+            jnp.where(freeze, dvec, dvec_bp),
+            jnp.where(freeze, moving, moving_bp),
+            found | inside,
+            jnp.where(found, xcp_z, jnp.where(inside, xcp_candidate, xcp_z)),
+            jnp.where(freeze, t_old, t_next),
+        )
+
+    init = (
+        jnp.zeros_like(x),
+        d0,
+        moving0,
+        jnp.asarray(False),
+        jnp.zeros_like(x),
+        jnp.asarray(0.0, dtype),
+    )
+    _, _, moving, _, xcp_z, _ = jax.lax.fori_loop(0, d_dim + 1, seg, init)
+    return xcp_z, moving
+
+
+def _subsm(x, g, bmat, xcp, free, lower, upper):
+    """Subspace minimisation, lbfgsb 3.0 subsm semantics.
+
+    Newton step of the model over the free variables from the Cauchy
+    point; if it leaves the box, project it and accept the projection
+    when ``(z_proj - x)·g <= 0`` (a model descent direction), otherwise
+    fall back to the truncated-alpha step with the blocking variable
+    snapped exactly onto its bound (Morales & Nocedal 2011 / subsm
+    do-55/do-60 blocks).
+    """
+    dtype = x.dtype
+    big = jnp.asarray(1e30, dtype)
+    freef = free.astype(dtype)
+    r = g + _matvec(bmat, xcp - x)
+    bmod = bmat * jnp.outer(freef, freef) + jnp.diag(1.0 - freef)
+    dsub = _solve_small(bmod, -(r * freef))
+    dsub = dsub * freef  # exact zeros on fixed vars
+
+    zt = xcp + dsub
+    viol = free & ((zt < lower) | (zt > upper))
+    iword = jnp.any(viol)
+    zproj = jnp.clip(zt, lower, upper)
+    dd_p = _dot(zproj - x, g)
+
+    # alpha fallback (Fortran do-60): largest alpha <= 1 keeping
+    # xcp + alpha*dsub feasible; candidates are 0 when xcp already sits
+    # on the relevant bound.
+    safe_d = jnp.where(dsub == 0.0, 1.0, dsub)
+    low_gap = lower - xcp
+    up_gap = upper - xcp
+    cand = jnp.where(
+        free & (dsub < 0.0),
+        jnp.where(low_gap >= 0.0, 0.0, low_gap / safe_d),
+        big,
+    )
+    cand = jnp.where(
+        free & (dsub > 0.0),
+        jnp.where(up_gap <= 0.0, 0.0, up_gap / safe_d),
+        cand,
+    )
+    alpha = jnp.minimum(jnp.asarray(1.0, dtype), jnp.min(cand))
+    ibd = jnp.argmin(cand)
+    z_alpha = xcp + alpha * dsub
+    bound_b = jnp.where(dsub[ibd] > 0.0, upper[ibd], lower[ibd])
+    z_alpha = jnp.where(
+        alpha < 1.0, z_alpha.at[ibd].set(bound_b), z_alpha
+    )
+
+    z = jnp.where(iword & (dd_p > 0.0), z_alpha, zproj)
+    return jnp.where(jnp.any(free), z, xcp)
 
 
 class LbfgsbResult(NamedTuple):
@@ -332,7 +601,7 @@ def lbfgsb_minimize(
     x0: jnp.ndarray,
     lower: jnp.ndarray,
     upper: jnp.ndarray,
-    m: int = 10,
+    m: int = _M,
     maxiter: int = 50,
     pgtol: float = 1e-5,
     factr: float = 1e7,
@@ -346,160 +615,150 @@ def lbfgsb_minimize(
     dtype = x0.dtype
     d_dim = x0.shape[-1]
     tol = factr * _EPS64
+    epsmch = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     # bounds at |b| >= 1e9 are "infinite" sentinels; 'boxed' means every
     # variable has both finite bounds (drives the Fortran driver's
     # first-step rule in lnsrlb).
     boxed = jnp.all(jnp.abs(lower) < 1e9) & jnp.all(jnp.abs(upper) < 1e9)
 
     x = jnp.clip(x0, lower, upper)
-    fx, g = _fd_value_and_grad(f_batch, x)
+    fx, g = _fd_value_and_grad(f_batch, x, lower, upper)
 
     s_hist = jnp.zeros((m, d_dim), dtype)
     y_hist = jnp.zeros((m, d_dim), dtype)
-    rho = jnp.zeros((m,), dtype)  # 1/(y.s); 0 marks an empty slot
     state0 = (
         x,
         fx,
         g,
         s_hist,
         y_hist,
-        rho,
+        jnp.asarray(1.0, dtype),  # theta
         jnp.asarray(0, jnp.int32),  # pairs stored so far (ring indices
         #                             wrap modulo m; this keeps counting)
-        jnp.asarray(0, jnp.int32),  # iteration
+        jnp.asarray(0, jnp.int32),  # iteration (successful steps only)
+        jnp.asarray(0, jnp.int32),  # while-loop trips incl. restarts
         jnp.asarray(False),  # done
         jnp.asarray(False),  # converged flag
-        jnp.asarray(False),  # restarted once after a line-search failure
     )
 
-    def two_loop(g, s_hist, y_hist, rho, n_pairs):
-        q = g
-
-        def bwd(i, carry):
-            q, alphas = carry
-            slot = (n_pairs - 1 - i) % m
-            valid = i < n_pairs
-            a = jnp.where(valid, rho[slot] * jnp.vdot(s_hist[slot], q), 0.0)
-            q = q - a * y_hist[slot]
-            return q, alphas.at[slot].set(a)
-
-        q, alphas = jax.lax.fori_loop(
-            0, m, bwd, (q, jnp.zeros((m,), dtype))
-        )
-        last = (n_pairs - 1) % m
-        sy = jnp.vdot(s_hist[last], y_hist[last])
-        yy = jnp.vdot(y_hist[last], y_hist[last])
-        gamma = jnp.where(n_pairs > 0, sy / jnp.where(yy == 0, 1.0, yy), 1.0)
-        q = q * gamma
-
-        def fwd(i, q):
-            slot = (n_pairs - m + i) % m  # oldest first among stored
-            idx = jnp.where(n_pairs < m, i, slot)
-            valid = i < n_pairs
-            b = jnp.where(
-                valid, rho[idx] * jnp.vdot(y_hist[idx], q), 0.0
-            )
-            return q + s_hist[idx] * (alphas[idx] - b)
-
-        return jax.lax.fori_loop(0, m, fwd, q)
-
     def body(state):
-        (x, fx, g, s_hist, y_hist, rho, n_pairs, it, done, conv,
-         restarted) = state
+        (x, fx, g, s_hist, y_hist, theta, n_pairs, it, trips, done,
+         conv) = state
 
-        q = two_loop(g, s_hist, y_hist, rho, n_pairs)
-        d = -q
-        d = jnp.where(jnp.vdot(d, g) >= 0.0, -g, d)
-        dnorm = jnp.linalg.norm(d)
-        gd_old = jnp.vdot(g, d)
+        col = jnp.minimum(n_pairs, m)
+        # chronological (oldest-first) view of the ring buffers
+        ord_idx = (n_pairs - col + jnp.arange(m, dtype=jnp.int32)) % m
+        valid = jnp.arange(m) < col
+        s_ord = jnp.where(valid[:, None], s_hist[ord_idx], 0.0)
+        y_ord = jnp.where(valid[:, None], y_hist[ord_idx], 0.0)
+        bmat = _build_b(s_ord, y_ord, valid, theta, d_dim)
 
-        # max feasible step along d; the Fortran driver (lnsrlb) caps
-        # the first constrained iteration's line search at step 1.0 and
-        # starts fully-boxed problems directly at step 1.0.
+        xcp_z, free = _cauchy(x, g, lower, upper, bmat, theta, epsmch)
+        xcp = x + xcp_z
+        z = jnp.where(col > 0, _subsm(x, g, bmat, xcp, free, lower, upper),
+                      xcp)
+        d = z - x
+        dnorm = jnp.sqrt(_dot(d, d))
+        gd_old = _dot(g, d)
+
+        # lnsrlb step rules: the first constrained iteration caps the
+        # search at step 1; later iterations take the true distance to
+        # the box along d; the first step is 1 unless the problem is
+        # not fully boxed (then min(1/|d|, stpmax)).
         big = jnp.asarray(1e10, dtype)
         step_to_bound = jnp.where(
             d > 0,
             (upper - x) / jnp.where(d == 0, 1.0, d),
             jnp.where(d < 0, (lower - x) / jnp.where(d == 0, 1.0, d), big),
         )
-        feasible = jnp.minimum(jnp.min(step_to_bound), big)
         first = it == 0
         stpmx = jnp.where(
-            first, jnp.minimum(feasible, jnp.asarray(1.0, dtype)), feasible
+            first,
+            jnp.asarray(1.0, dtype),
+            jnp.minimum(jnp.min(step_to_bound), big),
         )
         inv_dnorm = 1.0 / jnp.where(dnorm == 0, 1.0, dnorm)
         stp0 = jnp.where(
             first & ~boxed,
             jnp.minimum(inv_dnorm, stpmx),
-            jnp.minimum(jnp.asarray(1.0, dtype), stpmx),
+            jnp.asarray(1.0, dtype),
         )
 
-        res = _dcsrch(f_batch, x, d, fx, g, stp0, stpmx, maxfev=maxls)
+        res = _dcsrch(
+            f_batch, x, d, fx, g, stp0, stpmx, lower, upper, maxfev=maxls
+        )
         ls_failed = res.failed
         xn = x + res.stp * d
         fn = res.f
         gn = res.g
 
-        s = xn - x
-        y = gn - g
-        sy = jnp.vdot(s, y)
-        # curvature skip rule as in mainlb: dr <= epsmch * (-stp * gd_old)
-        store = (~ls_failed) & (
-            sy > _EPS64 * (-res.stp * gd_old)
+        # mainlb convergence tests, in order: projected gradient at the
+        # new point, then relative f reduction.
+        pg = xn - jnp.clip(xn - gn, lower, upper)
+        pg_done = jnp.max(jnp.abs(pg)) <= pgtol
+        f_reduction_done = (fx - fn) <= tol * jnp.maximum(
+            jnp.maximum(jnp.abs(fx), jnp.abs(fn)), 1.0
         )
+        step_ok = ~ls_failed
+        new_conv = step_ok & (pg_done | f_reduction_done)
+
+        # curvature pair update (mainlb dr/ddum + matupd)
+        gd = _dot(gn, d)
+        one_step = res.stp == 1.0
+        dr = jnp.where(one_step, gd - gd_old, (gd - gd_old) * res.stp)
+        ddum = jnp.where(one_step, -gd_old, -gd_old * res.stp)
+        store = step_ok & (dr > _EPS64 * ddum)
+        s = res.stp * d
+        y = gn - g
         slot = n_pairs % m
         s_hist_n = jnp.where(store, s_hist.at[slot].set(s), s_hist)
         y_hist_n = jnp.where(store, y_hist.at[slot].set(y), y_hist)
-        rho_n = jnp.where(
-            store, rho.at[slot].set(1.0 / jnp.where(sy == 0, 1.0, sy)), rho
-        )
         n_pairs_n = jnp.where(store, n_pairs + 1, n_pairs)
+        rr = _dot(y, y)
+        theta_n = jnp.where(store, rr / jnp.where(dr == 0, 1.0, dr), theta)
 
-        # line-search failure handling as in mainlb: first failure wipes
-        # the L-BFGS memory and restarts from the same iterate with
-        # steepest descent; a second failure terminates at the previous
-        # (not the failed trial) point.
-        first_fail = ls_failed & ~restarted
-        second_fail = ls_failed & restarted
-        n_pairs_n = jnp.where(first_fail, 0, n_pairs_n)
-        restarted_n = restarted | ls_failed
+        # mainlb restart machinery: a line-search failure with stored
+        # pairs wipes the memory (theta=1) and retries from the same
+        # iterate without counting an iteration; with no history it
+        # terminates abnormally.
+        restart = ls_failed & (col > 0)
+        fatal = ls_failed & (col == 0)
+        n_pairs_n = jnp.where(restart, 0, n_pairs_n)
+        theta_n = jnp.where(restart, 1.0, theta_n)
 
         # on any failure the trial point is discarded
         xn = jnp.where(ls_failed, x, xn)
         fn = jnp.where(ls_failed, fx, fn)
-        gn = jnp.where(ls_failed[..., None] if ls_failed.ndim else ls_failed,
-                       g, gn)
+        gn = jnp.where(ls_failed, g, gn)
 
-        f_reduction_done = (~ls_failed) & (
-            (fx - fn)
-            <= tol
-            * jnp.maximum(jnp.maximum(jnp.abs(fx), jnp.abs(fn)), 1.0)
-        )
-        pg = xn - jnp.clip(xn - gn, lower, upper)
-        pg_done = jnp.max(jnp.abs(pg)) <= pgtol
-        new_done = f_reduction_done | pg_done | second_fail
+        new_done = new_conv | fatal
 
         keep = done
         return (
             jnp.where(keep, x, xn),
             jnp.where(keep, fx, fn),
-            jnp.where(keep[..., None] if keep.ndim else keep, g, gn),
+            jnp.where(keep, g, gn),
             jnp.where(keep, s_hist, s_hist_n),
             jnp.where(keep, y_hist, y_hist_n),
-            jnp.where(keep, rho, rho_n),
+            jnp.where(keep, theta, theta_n),
             jnp.where(keep, n_pairs, n_pairs_n),
-            it + jnp.where(keep, 0, 1),
+            it + jnp.where(keep | ls_failed, 0, 1),
+            trips + 1,
             done | new_done,
-            conv | (~keep & (f_reduction_done | pg_done)),
-            jnp.where(keep, restarted, restarted_n),
+            conv | (~keep & new_conv),
         )
 
     def cond(state):
-        x, fx, g, _, _, _, _, it, done, _, _ = state
+        x, fx, g, _, _, _, _, it, trips, done, _ = state
         pg = x - jnp.clip(x - g, lower, upper)
-        return (~done) & (it < maxiter) & (jnp.max(jnp.abs(pg)) > pgtol)
+        return (
+            (~done)
+            & (it < maxiter)
+            & (trips < 2 * maxiter + 4)
+            & (jnp.max(jnp.abs(pg)) > pgtol)
+        )
 
-    x, fx, g, _, _, _, _, it, done, conv, _ = jax.lax.while_loop(
+    x, fx, g, _, _, _, _, it, _, done, conv = jax.lax.while_loop(
         cond, body, state0
     )
     pg0 = x - jnp.clip(x - g, lower, upper)

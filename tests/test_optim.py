@@ -57,6 +57,206 @@ def test_lbfgsb_matches_scipy_pore_opt(name, ext):
     assert -float(res.fun) == pytest.approx(-ref.fun, abs=tol)
 
 
+def test_bfgs_recursion_matches_compact():
+    """_build_b (sequential BFGS updates of theta*I) must equal the
+    Byrd–Nocedal–Schnabel compact form theta*I - W M W^T the Fortran
+    code factorises (lbfgsb.f formk/formt)."""
+    from pywindow_tpu.ops.lbfgsb import _build_b
+
+    rng = np.random.default_rng(7)
+    m, d = 10, 3
+    theta = 2.3
+    s_list, y_list = [], []
+    for _ in range(6):  # 6 valid pairs, 4 empty slots
+        s = rng.normal(size=d)
+        y = rng.normal(size=d)
+        if s @ y < 0:
+            y = -y
+        s_list.append(s)
+        y_list.append(y)
+    s_ord = np.zeros((m, d))
+    y_ord = np.zeros((m, d))
+    s_ord[:6] = s_list
+    y_ord[:6] = y_list
+    valid = np.arange(m) < 6
+
+    b_rec = np.asarray(
+        _build_b(
+            jnp.asarray(s_ord), jnp.asarray(y_ord), jnp.asarray(valid),
+            jnp.asarray(theta), d,
+        )
+    )
+
+    # compact form over the 6 valid pairs
+    S = s_ord[:6].T  # (d, k)
+    Y = y_ord[:6].T
+    W = np.concatenate([Y, theta * S], axis=1)
+    SY = S.T @ Y  # SY[i, j] = s_i . y_j
+    D = np.diag(np.diag(SY))
+    L = np.tril(SY, k=-1)
+    M_inv = np.block([[-D, L.T], [L, theta * (S.T @ S)]])
+    b_compact = theta * np.eye(d) - W @ np.linalg.solve(M_inv, W.T)
+
+    np.testing.assert_allclose(b_rec, b_compact, rtol=1e-10, atol=1e-10)
+
+
+_PINNED_CASES = []
+
+
+def _quad3(X):
+    A = jnp.asarray([[4.0, 1.0, 0.2], [1.0, 3.0, 0.5], [0.2, 0.5, 2.0]])
+    b = jnp.asarray([10.0, -4.0, 3.0])
+    return 0.5 * jnp.einsum("ki,ij,kj->k", X, A, X) - X @ b
+
+
+def _quad3_np(x):
+    A = np.array([[4.0, 1.0, 0.2], [1.0, 3.0, 0.5], [0.2, 0.5, 2.0]])
+    b = np.array([10.0, -4.0, 3.0])
+    return 0.5 * x @ A @ x - b @ x
+
+
+def _ros(X):
+    return (1 - X[:, 0]) ** 2 + 100.0 * (X[:, 1] - X[:, 0] ** 2) ** 2
+
+
+def _ros_np(x):
+    return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+
+def _trig(X):
+    return (
+        jnp.sin(3 * X[:, 0]) * jnp.cos(2 * X[:, 1])
+        + 0.1 * X[:, 0] ** 2
+        + 0.05 * X[:, 1] ** 2
+        + 0.3 * X[:, 0] * X[:, 1]
+    )
+
+
+def _trig_np(x):
+    return (
+        np.sin(3 * x[0]) * np.cos(2 * x[1])
+        + 0.1 * x[0] ** 2
+        + 0.05 * x[1] ** 2
+        + 0.3 * x[0] * x[1]
+    )
+
+
+def _q1d(X):
+    return (X[:, 0] - 2.0) ** 2
+
+
+def _q1d_np(x):
+    return (x[0] - 2.0) ** 2
+
+
+_PINNED_CASES = [
+    # (label, f_batch, f_np, x0, lower, upper, n_active_expected)
+    ("face", _quad3, _quad3_np, [0.0, 0.0, 0.0], [-1.0] * 3, [1.0] * 3, 3),
+    ("corner", _quad3, _quad3_np, [0.0, 0.0, 0.0], [-0.5] * 3, [0.2] * 3, 3),
+    ("start-on-bound", _quad3, _quad3_np, [1.0, -1.0, 1.0], [-1.0] * 3,
+     [1.0] * 3, 3),
+    ("rosenbrock", _ros, _ros_np, [-1.2, 1.0], [-2.0, -2.0], [0.5, 2.0], 1),
+    ("trig", _trig, _trig_np, [0.3, 0.3], [-0.4, -0.4], [0.4, 0.4], 1),
+    ("1d-upper", _q1d, _q1d_np, [0.0], [-0.5], [1.0], 1),
+]
+
+
+@pytest.mark.parametrize(
+    ("label", "f_b", "f_np", "x0", "lo", "hi", "n_active"),
+    _PINNED_CASES,
+    ids=[c[0] for c in _PINNED_CASES],
+)
+def test_lbfgsb_bound_pinned_synthetic(label, f_b, f_np, x0, lo, hi,
+                                       n_active):
+    """Bound-active parity: the constrained optimum sits on a box face
+    or corner; the generalized-Cauchy-point + subspace-minimisation
+    machinery must stop exactly where scipy stops (same iterates, same
+    iteration count up to FP noise).  Reference regime:
+    utilities.py:416-422 (COM +- pore_r box)."""
+    x0 = np.asarray(x0, dtype=np.float64)
+    lo = np.asarray(lo, dtype=np.float64)
+    hi = np.asarray(hi, dtype=np.float64)
+    res = jax.jit(
+        lambda c, a, b: lbfgsb_minimize(f_b, c, a, b, maxiter=200)
+    )(jnp.asarray(x0), jnp.asarray(lo), jnp.asarray(hi))
+    ref = minimize(f_np, x0=x0, bounds=list(zip(lo, hi)))
+    active = np.sum(
+        (np.abs(ref.x - lo) < 1e-9) | (np.abs(ref.x - hi) < 1e-9)
+    )
+    assert active >= n_active, "test no longer exercises active bounds"
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-7)
+    assert float(res.fun) == pytest.approx(ref.fun, abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    ("name", "ext"),
+    [("NUXHIZ", "xyz"), ("BATVUP", "xyz"), ("MIBQAR", "pdb"),
+     ("SAYGOR", "pdb")],
+)
+def test_lbfgsb_bound_pinned_cage(name, ext):
+    """Active bounds on the real clearance objective: an offset box
+    excludes the pore-centre maximum, so the optimum pins on 1-3 box
+    faces.  Must match scipy's stopping point."""
+    loader = load_xyz if ext == "xyz" else load_pdb
+    elements, coords = loader(DATA / f"{name}.{ext}")
+    mol = encoding.encode(elements, coords)
+    com = geometry.center_of_mass(mol)
+    pd, _ = geometry.pore_diameter(mol)
+    r = float(pd) / 2.0
+    lo = np.asarray(com) + 0.15 * r
+    hi = np.asarray(com) + 0.60 * r
+    x0 = lo + 0.7 * (hi - lo)
+
+    def f_batch(points):
+        return -2.0 * geometry.clearance_field(points, mol)
+
+    res = jax.jit(
+        lambda c, a, b: lbfgsb_minimize(f_batch, c, a, b)
+    )(jnp.asarray(x0), jnp.asarray(lo), jnp.asarray(hi))
+
+    ids = tables.element_ids(elements)
+    vdw = tables.ELEMENT_VDW[ids]
+
+    def f_np(p):
+        return -2 * np.min(np.linalg.norm(coords - p, axis=1) - vdw)
+
+    ref = minimize(f_np, x0=x0, bounds=list(zip(lo, hi)))
+    active = np.sum(
+        (np.abs(ref.x - lo) < 1e-9) | (np.abs(ref.x - hi) < 1e-9)
+    )
+    assert active >= 1, "box offset no longer pins the optimum"
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-6)
+    assert float(res.fun) == pytest.approx(ref.fun, abs=1e-7)
+
+
+def test_fd_gradient_matches_scipy_at_bound():
+    """The 2-point FD step must follow scipy's _adjust_scheme_to_bounds
+    rules (sign flip near an upper bound, truncation in a narrow box)."""
+    from scipy.optimize._numdiff import approx_derivative
+
+    from pywindow_tpu.ops.lbfgsb import _fd_value_and_grad
+
+    def f_np(x):
+        return np.sin(x[0]) * x[1] ** 2 + x[2]
+
+    def f_b(X):
+        return jnp.sin(X[:, 0]) * X[:, 1] ** 2 + X[:, 2]
+
+    # x sits exactly on its upper bound in dim 0 and within 1e-9 of it
+    # in dim 1 (forcing a backward step), and in a box narrower than
+    # the default step in dim 2 (forcing truncation).
+    x = np.array([2.0, 1.0, 0.5])
+    lo = np.array([0.0, -1.0, 0.5 - 2e-9])
+    hi = np.array([2.0, 1.0 + 1e-12, 0.5 + 3e-9])
+    ref = approx_derivative(
+        f_np, x, method="2-point", abs_step=1e-8, bounds=(lo, hi)
+    )
+    _, g = _fd_value_and_grad(
+        f_b, jnp.asarray(x), jnp.asarray(lo), jnp.asarray(hi)
+    )
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-6, atol=1e-8)
+
+
 def test_nelder_mead_matches_scipy_fmin():
     """On a smooth 2-D bowl both must find the same minimum."""
 

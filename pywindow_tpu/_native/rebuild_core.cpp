@@ -152,6 +152,8 @@ long pw_decode_dlpoly_frame(
     const char* text, long len, long keytrj, long has_cell,
     double* cell /*9, column lattice vectors as rows in file order*/,
     char* ids /*natoms * 9, zero-padded*/, double* xyz /*natoms * 3*/,
+    double* vel /*natoms * 3 when keytrj >= 1, else may be null*/,
+    double* frc /*natoms * 3 when keytrj == 2, else may be null*/,
     long cap_atoms) {
     long pos = 0;
     auto skip_ws = [&]() {
@@ -205,8 +207,21 @@ long pw_decode_dlpoly_frame(
         xyz[atom * 3 + 1] = y;
         xyz[atom * 3 + 2] = z;
         next_line();
-        // skip velocity / force lines
-        for (long s = 0; s < keytrj; ++s) next_line();
+        // velocity / force lines (parsed when an output buffer is
+        // given, skipped otherwise)
+        for (long s = 0; s < keytrj; ++s) {
+            double* out3 = s == 0 ? vel : frc;
+            if (out3 != nullptr) {
+                double a, b, c;
+                if (!parse_double(&a) || !parse_double(&b) ||
+                    !parse_double(&c))
+                    return -1;
+                out3[atom * 3 + 0] = a;
+                out3[atom * 3 + 1] = b;
+                out3[atom * 3 + 2] = c;
+            }
+            next_line();
+        }
         ++atom;
     }
     return atom;

@@ -101,7 +101,7 @@ def lib() -> ctypes.CDLL | None:
     L.pw_decode_dlpoly_frame.restype = ctypes.c_long
     L.pw_decode_dlpoly_frame.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
-        c_d, ctypes.c_char_p, c_d, ctypes.c_long,
+        c_d, ctypes.c_char_p, c_d, c_d, c_d, ctypes.c_long,
     ]
     _LIB = L
     return _LIB
@@ -175,11 +175,23 @@ def bfs_molecule(
 
 def decode_dlpoly_frame(
     raw: bytes, keytrj: int, has_cell: bool, n_atoms_hint: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray | None] | None:
+) -> (
+    tuple[
+        np.ndarray,
+        np.ndarray,
+        np.ndarray | None,
+        np.ndarray | None,
+        np.ndarray | None,
+    ]
+    | None
+):
     """Native text decode of one HISTORY frame.
 
-    Returns (atom_ids '<U8', coordinates (N,3), lattice (3,3) or None),
-    or None when the native library is unavailable / parsing fails.
+    Returns (atom_ids '<U8', coordinates (N,3), lattice (3,3) or None,
+    velocities (N,3) or None, forces (N,3) or None) — velocities for
+    keytrj >= 1, forces for keytrj == 2 (reference trajectory
+    stride semantics: trajectory.py:712-766).  None when the native
+    library is unavailable / parsing fails.
     """
     L = lib()
     if L is None:
@@ -188,6 +200,9 @@ def decode_dlpoly_frame(
     ids = ctypes.create_string_buffer(cap * 9)
     xyz = np.empty((cap, 3), dtype=np.float64)
     cell = np.zeros((3, 3), dtype=np.float64)
+    null_d = ctypes.cast(None, ctypes.POINTER(ctypes.c_double))
+    vel = np.empty((cap, 3), dtype=np.float64) if keytrj >= 1 else None
+    frc = np.empty((cap, 3), dtype=np.float64) if keytrj >= 2 else None
     got = L.pw_decode_dlpoly_frame(
         raw,
         len(raw),
@@ -196,10 +211,18 @@ def decode_dlpoly_frame(
         _ptr(cell, ctypes.c_double),
         ids,
         _ptr(xyz, ctypes.c_double),
+        _ptr(vel, ctypes.c_double) if vel is not None else null_d,
+        _ptr(frc, ctypes.c_double) if frc is not None else null_d,
         cap,
     )
     if got < 0:
         return None
     id_arr = np.frombuffer(ids.raw, dtype="S9", count=got).astype("<U8")
     lattice = cell.T if has_cell else None
-    return id_arr, xyz[:got].copy(), lattice
+    return (
+        id_arr,
+        xyz[:got].copy(),
+        lattice,
+        vel[:got].copy() if vel is not None else None,
+        frc[:got].copy() if frc is not None else None,
+    )

@@ -563,8 +563,8 @@ class DLPOLY(Trajectory):
     def _decode_raw(self, raw: str) -> dict:
         """Decode one HISTORY frame, native text parser when available.
 
-        The C++ parser covers the coordinates-only case (keytrj=0); the
-        Python path handles velocities/forces and acts as the fallback.
+        The C++ parser covers every keytrj (coordinates, velocities,
+        forces); the Python stride decode is the fallback.
         """
         head = raw[: raw.find("\n")].split()
         info = {
@@ -574,17 +574,17 @@ class DLPOLY(Trajectory):
             "imcon": int(head[4]),
             "tstep": float(head[5]),
         }
-        if info["keytrj"] == 0:
+        if info["keytrj"] in (0, 1, 2):
             from pywindow_tpu import native
 
             got = native.decode_dlpoly_frame(
                 raw.encode(),
-                keytrj=0,
+                keytrj=info["keytrj"],
                 has_cell=info["imcon"] in (1, 2, 3),
                 n_atoms_hint=info["natms"],
             )
             if got is not None and len(got[0]) == info["natms"]:
-                ids, coords, lattice = got
+                ids, coords, lattice, vel, frc = got
                 out = {
                     "frame_info": info,
                     "atom_ids": ids,
@@ -593,6 +593,10 @@ class DLPOLY(Trajectory):
                 if lattice is not None:
                     out["lattice"] = lattice
                     out["unit_cell"] = lattice_array_to_unit_cell(lattice)
+                if vel is not None:
+                    out["velocities"] = vel
+                if frc is not None:
+                    out["forces"] = frc
                 return out
         frame = [ln.split() for ln in raw.split("\n")][:-1]
         return self._decode_frame(frame)

@@ -177,3 +177,111 @@ def test_exact_sizes_batched_matches_serial(tmp_path):
             np.sort(b["windows"]["diameters"]),
             atol=2e-3,
         )
+
+
+# --- keytrj 1/2: velocities and forces (reference trajectory.py:712-766)
+
+
+def _write_history(path, keytrj, imcon=0, nframes=2, natms=4):
+    """Synthetic HISTORY with hand-computable per-line values:
+    coord  = f*10 + i + 0.1*k
+    vel    = 100 + f*10 + i + 0.1*k   (keytrj >= 1)
+    force  = 200 + f*10 + i + 0.1*k   (keytrj == 2)
+    for frame f, atom i, component k."""
+    names = ["ni", "ca", "o2", "h1", "c7", "n3"][:natms]
+    lines = [
+        "DLFIELD synthetic keytrj test history",
+        f"{keytrj:>10}{imcon:>10}{natms:>10}",
+    ]
+    for f in range(nframes):
+        lines.append(
+            f"timestep{100 + f:>10}{natms:>10}{keytrj:>10}{imcon:>10}"
+            "    0.000700"
+        )
+        if imcon in (1, 2, 3):
+            for r in range(3):
+                lines.append(
+                    "  ".join(
+                        f"{(30.0 + f if r == c else 0.0):12.6f}"
+                        for c in range(3)
+                    )
+                )
+        for i in range(natms):
+            lines.append(f"{names[i]:<8}{i + 1:>10}  12.000000   0.000000")
+            for base in (0.0, 100.0, 200.0)[: keytrj + 1]:
+                lines.append(
+                    "  ".join(
+                        f"{base + f * 10 + i + 0.1 * k:14.6f}"
+                        for k in range(3)
+                    )
+                )
+    path.write_text("\n".join(lines) + "\n")
+
+
+def _expected(base, f, natms):
+    return np.array(
+        [[base + f * 10 + i + 0.1 * k for k in range(3)]
+         for i in range(natms)]
+    )
+
+
+@pytest.mark.parametrize("keytrj", [1, 2])
+@pytest.mark.parametrize("imcon", [0, 2])
+def test_keytrj_velocities_forces(tmp_path, keytrj, imcon):
+    path = tmp_path / "HISTORY_kt"
+    _write_history(path, keytrj=keytrj, imcon=imcon)
+    t = pw.DLPOLY(path)
+    assert t.no_of_frames == 2
+    assert t.no_of_atoms == 4
+    expected_type = {
+        1: "coordinates and velocities",
+        2: "coordinates, velocities and forces",
+    }[keytrj]
+    assert t.content_type == expected_type
+    for f in (0, 1):
+        sys_ = t.get_frames(f, override=True)[f].system
+        assert list(sys_["atom_ids"]) == ["ni", "ca", "o2", "h1"]
+        np.testing.assert_array_equal(
+            sys_["coordinates"], _expected(0.0, f, 4)
+        )
+        np.testing.assert_array_equal(
+            sys_["velocities"], _expected(100.0, f, 4)
+        )
+        if keytrj == 2:
+            np.testing.assert_array_equal(
+                sys_["forces"], _expected(200.0, f, 4)
+            )
+        else:
+            assert "forces" not in sys_
+        if imcon == 2:
+            np.testing.assert_allclose(
+                np.diag(sys_["lattice"]), 30.0 + f
+            )
+
+
+@pytest.mark.parametrize("keytrj", [1, 2])
+def test_keytrj_native_matches_python(tmp_path, keytrj, monkeypatch):
+    """The C++ decoder and the Python stride fallback must agree on
+    every array, and the native path must actually engage."""
+    from pywindow_tpu import native
+
+    path = tmp_path / "HISTORY_kt"
+    _write_history(path, keytrj=keytrj, imcon=2, nframes=1, natms=5)
+    t = pw.DLPOLY(path)
+
+    raw = t._frame_slice(0).decode("utf-8")
+    got = native.decode_dlpoly_frame(
+        raw.encode(), keytrj=keytrj, has_cell=True, n_atoms_hint=5
+    )
+    assert got is not None, "native decoder must be available here"
+    native_out = t._decode_raw(raw)
+
+    monkeypatch.setattr(native, "decode_dlpoly_frame",
+                        lambda *a, **k: None)
+    python_out = t._decode_raw(raw)
+
+    assert list(native_out["atom_ids"]) == list(python_out["atom_ids"])
+    for key in ("coordinates", "velocities", "lattice") + (
+        ("forces",) if keytrj == 2 else ()
+    ):
+        np.testing.assert_array_equal(native_out[key], python_out[key])

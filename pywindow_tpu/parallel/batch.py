@@ -28,12 +28,17 @@ from pywindow_tpu.ops.encoding import MolArrays, encode_batch
 from pywindow_tpu.parallel.mesh import (
     batch_sharding,
     frame_mesh,
+    host_batch_sharding,
+    host_device_mesh,
     pad_batch_to_devices,
 )
 
 
 @functools.lru_cache(maxsize=32)
 def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
+    """mesh_key: None (unsharded), "frames" (1-D device mesh), or
+    ("hosts", n_hosts) for the multi-host hosts x frames grid."""
+
     def fn(mol):
         return pack_results(
             full_analysis_device(
@@ -49,8 +54,12 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
     batched = jax.vmap(fn)
     if mesh_key is None:
         return jax.jit(batched)
-    mesh = frame_mesh()
-    sharding = batch_sharding(mesh)
+    if isinstance(mesh_key, tuple) and mesh_key[0] == "hosts":
+        mesh = host_device_mesh(n_hosts=mesh_key[1])
+        sharding = host_batch_sharding(mesh)
+    else:
+        mesh = frame_mesh()
+        sharding = batch_sharding(mesh)
     shardings = MolArrays(
         coords=sharding, mass=sharding, vdw=sharding, cov=sharding,
         mask=sharding,
@@ -115,6 +124,7 @@ def dispatch_batch(
     reference_max_diameter: float | None = None,
     shard: bool | None = None,
     pad_atoms: int | None = None,
+    mesh_key: str | tuple | None = None,
 ):
     """Encode + asynchronously dispatch one batch; returns a handle.
 
@@ -139,8 +149,10 @@ def dispatch_batch(
     n_win, n_avg, l1, l2 = static_sizes(reference_max_diameter, cfg)
     _, _, l1_b, l2_b = static_sizes(max(bounds), cfg)
     l1, l2 = max(l1, l1_b), max(l2, l2_b)
+    if mesh_key is None:
+        mesh_key = "frames"
     fn = _compiled_batch_analysis(
-        n_win, n_avg, l1, l2, cfg, mesh_key="frames" if shard else None
+        n_win, n_avg, l1, l2, cfg, mesh_key=mesh_key if shard else None
     )
     return (fn(mols), b, cfg)
 
@@ -178,6 +190,7 @@ def analyze_batch(
     reference_max_diameter: float | None = None,
     shard: bool | None = None,
     pad_atoms: int | None = None,
+    mesh_key: str | tuple | None = None,
 ) -> list[dict]:
     """Analyse many (elements, coordinates) systems in one device sweep.
 
@@ -219,6 +232,7 @@ def analyze_batch(
                     reference_max_diameter=reference_max_diameter,
                     shard=shard,
                     pad_atoms=pad_atoms,
+                    mesh_key=mesh_key,
                 )
             )
         return out
@@ -230,5 +244,6 @@ def analyze_batch(
             reference_max_diameter=reference_max_diameter,
             shard=shard,
             pad_atoms=pad_atoms,
+            mesh_key=mesh_key,
         )
         return collect_batch(handle)

@@ -36,7 +36,7 @@ def pad_batch_to_devices(n: int, n_devices: int) -> int:
     return ((n + n_devices - 1) // n_devices) * n_devices
 
 
-def host_device_mesh(devices=None) -> Mesh:
+def host_device_mesh(devices=None, n_hosts: int | None = None) -> Mesh:
     """A ('hosts', 'frames') mesh for multi-host trajectory sharding.
 
     The outer axis follows process boundaries (DCN), the inner axis the
@@ -45,10 +45,14 @@ def host_device_mesh(devices=None) -> Mesh:
     and the only cross-host traffic is the trailing gather of property
     vectors.  With a single process this degenerates to
     :func:`frame_mesh` semantics.
+
+    ``n_hosts`` overrides the process count (single-process testing can
+    fold a virtual device pool into a fake hosts x frames grid).
     """
     if devices is None:
         devices = jax.devices()
-    n_hosts = max(jax.process_count(), 1)
+    if n_hosts is None:
+        n_hosts = max(jax.process_count(), 1)
     per_host = len(devices) // n_hosts
     grid = np.asarray(devices)[: n_hosts * per_host].reshape(
         n_hosts, per_host

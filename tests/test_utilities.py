@@ -137,6 +137,41 @@ def test_host_device_mesh():
     assert mesh.devices.size == 8
     sharding = host_batch_sharding(mesh)
     assert sharding is not None
+    # explicit fake multi-host grid from the virtual device pool
+    mesh2 = host_device_mesh(n_hosts=2)
+    assert mesh2.devices.shape == (2, 4)
+
+
+def test_hosts_frames_mesh_executes(cc3_arrays):
+    """The full analysis sharded over a fake (2 hosts x 4 devices) grid
+    must equal the unsharded result (SURVEY §5 distributed backend:
+    frames shard over the flattened hosts x frames mesh; the host axis
+    rides DCN in real deployments, virtual CPU devices here)."""
+    import jax
+
+    from pywindow_tpu.parallel.mesh import (
+        host_batch_sharding,
+        host_device_mesh,
+    )
+
+    assert len(jax.devices()) == 8
+    elements, coords = cc3_arrays
+    systems = [(elements, coords + 0.02 * i) for i in range(8)]
+    sharded = analyze_batch(systems, shard=True, mesh_key=("hosts", 2))
+    unsharded = analyze_batch(systems, shard=False)
+    for a, b in zip(sharded, unsharded):
+        assert a["pore_diameter"]["diameter"] == pytest.approx(
+            b["pore_diameter"]["diameter"], abs=1e-10
+        )
+        assert a["average_diameter"] == pytest.approx(
+            b["average_diameter"], abs=1e-10
+        )
+    # the compiled program really placed shards on the 2x4 grid
+    mesh = host_device_mesh(n_hosts=2)
+    sh = host_batch_sharding(mesh)
+    arr = jax.device_put(np.zeros((8, 4)), sh)
+    assert len(arr.addressable_shards) == 8
+    assert {s.data.shape for s in arr.addressable_shards} == {(1, 4)}
 
 
 def test_autosave_and_resume(tmp_path):

@@ -31,6 +31,12 @@ from pywindow_tpu.ops.cell import (
 from pywindow_tpu.utilities import is_number
 
 
+#: frames held by the exact-sizes pre-scan cache before falling back to
+#: the decode-twice strategy (bounds sweep memory at ~CC3 x 4096 frames
+#: ~= 60 MB; beyond that the second decode is the cheaper trade)
+_FRAME_CACHE_LIMIT = 4096
+
+
 class TrajectoryError(ValueError):
     """Corrupted or inconsistent trajectory file."""
 
@@ -201,6 +207,7 @@ class Trajectory:
         autosave: pathlib.Path | str | None = None,
         autosave_every: int = 10,
         exact_sizes: bool = False,
+        _frame_cache: dict | None = None,
     ) -> None:
         """Device-batched analysis: frames are decoded on the host and
         swept through the fused pipeline ``batch_size`` at a time,
@@ -250,6 +257,13 @@ class Trajectory:
                 static_sizes,
             )
 
+            # the pre-scan already decodes every frame; keep the decoded
+            # systems for the sweep (bounded: a 10k+-frame sweep would
+            # hold the whole trajectory in memory, there the second
+            # decode is the cheaper trade).
+            cache: dict | None = (
+                {} if len(todo) <= _FRAME_CACHE_LIMIT else None
+            )
             buckets: dict = {}
             for frame in todo:
                 molsys = self._get_frame(
@@ -257,6 +271,8 @@ class Trajectory:
                     swap_atoms=swap_atoms,
                     forcefield=forcefield,
                 )
+                if cache is not None:
+                    cache[frame] = molsys
                 maxd = max_dim_host(
                     molsys.system["elements"],
                     molsys.system["coordinates"],
@@ -278,6 +294,7 @@ class Trajectory:
                     autosave=autosave,
                     autosave_every=autosave_every,
                     exact_sizes=False,
+                    _frame_cache=cache,
                 )
             return
 
@@ -285,11 +302,17 @@ class Trajectory:
             jobs = []  # (frame, molecule key) — keys as make_modular emits
             systems = []
             for frame in chunk:
-                molsys = self._get_frame(
-                    frame_no=frame,
-                    swap_atoms=swap_atoms,
-                    forcefield=forcefield,
-                )
+                # consume (pop) the exact-sizes pre-scan cache so memory
+                # is released as the sweep progresses
+                molsys = None
+                if _frame_cache is not None:
+                    molsys = _frame_cache.pop(frame, None)
+                if molsys is None:
+                    molsys = self._get_frame(
+                        frame_no=frame,
+                        swap_atoms=swap_atoms,
+                        forcefield=forcefield,
+                    )
                 if modular:
                     molsys.make_modular(rebuild=rebuild)
                     mols = molsys.molecules
@@ -314,27 +337,58 @@ class Trajectory:
                 self.analysis_output.setdefault(frame, {})
 
         def dispatch_all(systems):
-            """HBM-guarded dispatch: oversized system lists (modular
-            frames multiply the per-chunk count) split into safe
-            sub-dispatches."""
+            """Bucketed, HBM-guarded dispatch.
+
+            Systems are grouped by padded atom count so a varying-N
+            sweep neither max-pads every frame to the chunk's largest
+            member nor recompiles per chunk (one XLA program per pad
+            bucket), then each bucket splits into HBM-safe
+            sub-dispatches.  Sampling sizes are pinned across buckets
+            (results must not depend on bucket composition; the extra
+            per-bucket path-length headroom is result-neutral — masked
+            static steps).  Returns (handles, dispatch-order indices).
+            """
+            from pywindow_tpu.config import pad_multiple
             from pywindow_tpu.ops.analysis import max_dim_bound
-            from pywindow_tpu.parallel.batch import max_safe_batch
+            from pywindow_tpu.ops.encoding import round_up
+            from pywindow_tpu.parallel.batch import (
+                _largest_exact_maxd,
+                max_safe_batch,
+            )
 
-            n_max = max(len(e) for e, _ in systems)
-            maxd = max(max_dim_bound(e, c) for e, c in systems)
-            safe = max_safe_batch(n_max, maxd)
-            return [
-                dispatch_batch(
-                    systems[lo : lo + safe],
-                    reference_max_diameter=reference_max_diameter,
-                )
-                for lo in range(0, len(systems), safe)
-            ]
+            pad = pad_multiple()
+            pads = [round_up(max(len(e), 1), pad) for e, _ in systems]
+            bounds = [max_dim_bound(e, c) for e, c in systems]
+            ref = reference_max_diameter
+            if ref is None and len(set(pads)) > 1:
+                ref = _largest_exact_maxd(systems, bounds)
 
-        def collect_all(handles):
-            out = []
+            handles = []
+            order: list[int] = []
+            for p in sorted(set(pads)):
+                idxs = [i for i, q in enumerate(pads) if q == p]
+                maxd = max(bounds[i] for i in idxs)
+                safe = max_safe_batch(p, maxd)
+                for lo in range(0, len(idxs), safe):
+                    part = idxs[lo : lo + safe]
+                    handles.append(
+                        dispatch_batch(
+                            [systems[i] for i in part],
+                            reference_max_diameter=ref,
+                            pad_atoms=p,
+                        )
+                    )
+                    order.extend(part)
+            return handles, order
+
+        def collect_all(handles_order):
+            handles, order = handles_order
+            flat = []
             for h in handles:
-                out.extend(collect_batch(h))
+                flat.extend(collect_batch(h))
+            out = [None] * len(flat)
+            for pos, idx in enumerate(order):
+                out[idx] = flat[pos]
             return out
 
         # one-deep software pipeline: while the device crunches batch k,

@@ -285,3 +285,77 @@ def test_keytrj_native_matches_python(tmp_path, keytrj, monkeypatch):
         ("forces",) if keytrj == 2 else ()
     ):
         np.testing.assert_array_equal(native_out[key], python_out[key])
+
+
+def test_varying_n_trajectory_buckets_by_pad(tmp_path, monkeypatch):
+    """A mixed-size sweep groups frames by padded atom count: every
+    dispatched sub-batch is homogeneous (no max-padding small frames to
+    the largest member, one XLA program per bucket) and per-frame
+    results still match the serial path."""
+    import pywindow_tpu.parallel.batch as pb
+    from pywindow_tpu.config import pad_multiple
+    from pywindow_tpu.ops.encoding import round_up
+    from tests.conftest import load_xyz
+
+    cc3_e, cc3_c = load_xyz(DATA / "PUDXES.xyz")       # 168 atoms
+    yaq_e, yaq_c = load_xyz(DATA / "YAQHOQ.xyz")       # 60 atoms
+
+    def xyz_block(elements, coords):
+        lines = [str(len(elements)), "frame"]
+        lines += [
+            f"{el} {x:.6f} {y:.6f} {z:.6f}"
+            for el, (x, y, z) in zip(elements, coords)
+        ]
+        return "\n".join(lines)
+
+    out = tmp_path / "mixed.xyz"
+    blocks = [
+        xyz_block(cc3_e, cc3_c),
+        xyz_block(yaq_e, yaq_c),
+        xyz_block(cc3_e, cc3_c + 0.01),
+        xyz_block(yaq_e, yaq_c + 0.01),
+    ]
+    out.write_text("\n".join(blocks) + "\n")
+
+    calls = []
+    orig = pb.dispatch_batch
+
+    def spy(systems, *a, **kw):
+        calls.append(
+            (
+                sorted({len(e) for e, _ in systems}),
+                kw.get("pad_atoms"),
+            )
+        )
+        return orig(systems, *a, **kw)
+
+    # analysis_batched imports dispatch_batch at call time from this
+    # module, so one patch point suffices
+    monkeypatch.setattr(pb, "dispatch_batch", spy)
+
+    traj = pw.XYZ(out)
+    traj.analysis_batched(frames="all", batch_size=4, forcefield="DLF")
+
+    assert calls, "the spy must have observed dispatches"
+    pad = pad_multiple()
+    for atom_counts, pad_atoms in calls:
+        padded = {round_up(n, pad) for n in atom_counts}
+        assert len(padded) == 1, f"mixed pad bucket dispatched: {calls}"
+        assert pad_atoms == padded.pop()
+
+    # correctness vs the serial path (sampling sizes are pinned to the
+    # largest member in the default mode -> log-boundary tolerance)
+    serial = pw.XYZ(out)
+    serial.analysis(frames="all", forcefield="DLF")
+    for f in range(4):
+        a = traj.analysis_output[f]["0"]
+        b = serial.analysis_output[f]["0"]
+        assert a["pore_diameter"]["diameter"] == pytest.approx(
+            b["pore_diameter"]["diameter"], abs=0.01
+        )
+        if b["windows"]["diameters"] is None:
+            assert a["windows"]["diameters"] is None
+        else:
+            assert len(a["windows"]["diameters"]) == len(
+                b["windows"]["diameters"]
+            )

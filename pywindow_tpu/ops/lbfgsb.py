@@ -189,10 +189,20 @@ def _fd_value_and_grad(
     """
     dtype = x.dtype
     sign_x0 = jnp.where(x >= 0, 1.0, -1.0).astype(dtype)
-    h = jnp.full_like(x, _FD_ABS_STEP)
     rel = jnp.sqrt(jnp.finfo(dtype).eps).astype(dtype)
-    h_fallback = rel * sign_x0 * jnp.maximum(1.0, jnp.abs(x))
-    h = jnp.where((x + h) - x == 0, h_fallback, h)
+    h_rel = rel * sign_x0 * jnp.maximum(1.0, jnp.abs(x))
+    if dtype == jnp.float64:
+        # scipy-exact: absolute 1e-8, falling back to the relative rule
+        # only when the step is unrepresentable in x.
+        h = jnp.full_like(x, _FD_ABS_STEP)
+        h = jnp.where((x + h) - x == 0, h_rel, h)
+    else:
+        # reduced precision: 1e-8 may be representable in x yet vanish
+        # against f's resolution (f32 eps_f ~ 4e-7 at f ~ 3.6 makes
+        # every forward difference exactly 0 -> zero gradient -> the
+        # optimiser "converges" at x0).  Use scipy's relative default
+        # (rel_step=None formula) in the working dtype instead.
+        h = h_rel
     # _adjust_scheme_to_bounds, scheme='1-sided', num_steps=1
     lower_dist = x - lower
     upper_dist = upper - x

@@ -25,6 +25,13 @@ GOLD = {
         "max": 22.179369990077188,
         "windows": [3.62896512, 3.63562103, 3.63707237, 3.63778746],
     },
+    # near-origin COM with a small pore: catches FD steps that vanish
+    # against float32 f-resolution (the optimiser would silently stay
+    # at x0 and report pore_opt == pore)
+    "YAQHOQ": {
+        "pore": 3.6101512374999996,
+        "pore_opt": 3.6289753088227567,
+    },
     "BATVUP": {
         "pore": 4.836533719851611,
         "windows": [3.3414604104301676, 3.729380286546027],
@@ -81,11 +88,12 @@ def run_gate() -> dict:
             errs["avg"] = abs(p["average_diameter"] - gold["avg"])
         if "max" in gold:
             errs["max"] = abs(p["maximum_diameter"]["diameter"] - gold["max"])
-        wins = np.sort(p["windows"]["diameters"])
-        assert len(wins) == len(gold["windows"]), (name, wins)
-        errs["windows"] = float(
-            np.abs(wins - np.sort(gold["windows"])).max()
-        )
+        if "windows" in gold:
+            wins = np.sort(p["windows"]["diameters"])
+            assert len(wins) == len(gold["windows"]), (name, wins)
+            errs["windows"] = float(
+                np.abs(wins - np.sort(gold["windows"])).max()
+            )
         report["systems"][name] = {k: round(v, 6) for k, v in errs.items()}
         worst = max(worst, max(errs.values()))
     report["worst_abs_error"] = round(worst, 6)

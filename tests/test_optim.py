@@ -330,3 +330,26 @@ def test_lbfgsb_vmaps():
 
     xs = jax.vmap(solve)(shifts)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(shifts), atol=1e-5)
+
+
+def test_lbfgsb_float32_small_com_moves():
+    """float32 regression: YAQHOQ's COM sits at ~1e-5 where a plain
+    1e-8 absolute FD step is representable in x but vanishes against
+    f's float32 resolution — the gradient came back exactly zero and
+    the optimiser 'converged' at x0.  The dtype-aware relative step
+    must recover the optimum (golden pore_opt 3.6290 vs pore 3.6102)."""
+    elements, coords = load_xyz(DATA / "YAQHOQ.xyz")
+    mol = encoding.encode(elements, coords, dtype=np.float32)
+    com = geometry.center_of_mass(mol)
+    assert com.dtype == jnp.float32
+    pd, _ = geometry.pore_diameter(mol, com=com)
+    r = pd / 2.0
+
+    def f_batch(points):
+        return -2.0 * geometry.clearance_field(points, mol)
+
+    res = jax.jit(
+        lambda c, lo, hi: lbfgsb_minimize(f_batch, c, lo, hi)
+    )(com, com - r, com + r)
+    assert float(-res.fun) == pytest.approx(3.6289753088227567, abs=0.01)
+    assert int(res.nit) > 0

@@ -23,7 +23,7 @@ import numpy as np
 
 REPO = pathlib.Path(__file__).parent
 HISTORY = REPO / "tests" / "data" / "HISTORY_singlemol_short"
-BATCH = 960  # fits since the Pallas ray-sweep fusion (round 2)
+BATCH = 1440  # fits since the Pallas ray-sweep fusion (round 2)
 STEADY_REPS = 3
 REF_FRAMES = 5
 

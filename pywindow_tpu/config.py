@@ -71,8 +71,12 @@ class AnalysisConfig:
     #: brute-grid resolution per xy axis (scipy.optimize.brute default Ns,
     #: utilities.py:1312).
     brute_ns: int = 20
-    #: maximum number of windows tracked per molecule (padded, masked).
-    max_windows: int = 16
+    #: number of window slots tracked per molecule (padded, masked).
+    #: Refinement cost scales with the slot count, so the default stays
+    #: small; the host entry points escalate automatically (cap doubled,
+    #: re-run) whenever a molecule saturates it, up to
+    #: :data:`MAX_WINDOWS_CEILING` — the reference has no cap at all.
+    max_windows: int = 8
     #: iteration budget for the on-device bounded quasi-Newton optimiser.
     opt_maxiter: int = 120
     #: iteration budget for the Nelder–Mead polish stages.
@@ -85,3 +89,7 @@ class AnalysisConfig:
 
 
 DEFAULT_CONFIG = AnalysisConfig()
+
+#: escalation bound for the automatic max_windows doubling; a molecule
+#: with more windows than this logs the saturation warning instead.
+MAX_WINDOWS_CEILING = 64

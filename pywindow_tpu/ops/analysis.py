@@ -282,6 +282,9 @@ def analyze(
     Two-phase: a cheap device call gets the maximum diameter, from which
     the static sampling shapes are derived; then the fused pipeline runs.
     """
+    import dataclasses
+
+    from pywindow_tpu.config import MAX_WINDOWS_CEILING
     from pywindow_tpu.profiling import METRICS, stage
 
     with stage("encode"):
@@ -289,25 +292,35 @@ def analyze(
     with stage("static_sizes"):
         maxd = max_dim_host(np.asarray(elements), np.asarray(coordinates))
         n_win, n_avg, l1, l2 = static_sizes(maxd, cfg)
-    with stage("full_analysis"):
-        flat = _compiled_full_analysis(n_win, n_avg, l1, l2, cfg)(mol)
-        res = unpack_results(np.asarray(flat), cfg.max_windows)
+    while True:
+        with stage("full_analysis"):
+            flat = _compiled_full_analysis(n_win, n_avg, l1, l2, cfg)(mol)
+            res = unpack_results(np.asarray(flat), cfg.max_windows)
+        props = to_properties_dict(res)
+        if (
+            not props.pop("_window_cap_saturated", False)
+            or cfg.max_windows >= MAX_WINDOWS_CEILING
+        ):
+            break
+        # escalate: more clusters than slots — double the cap and re-run
+        cfg = dataclasses.replace(cfg, max_windows=2 * cfg.max_windows)
+    if int(res.windows.n_clusters) >= cfg.max_windows:
+        logger.warning(
+            "window clusters reached max_windows=%d; raise "
+            "AnalysisConfig.max_windows if this system may have more",
+            cfg.max_windows,
+        )
     METRICS.count("molecules_analysed")
     METRICS.count("windows_found", int(np.sum(res.windows.valid)))
     METRICS.count("window_refines_failed", int(np.sum(res.windows.refine_failed)))
-    return to_properties_dict(res)
+    return props
 
 
 def to_properties_dict(res: FullAnalysis) -> dict:
     """Convert device results into the reference properties schema
     (keys as produced by molecular.py:215-352)."""
     wins = res.windows
-    if int(wins.n_clusters) >= len(np.asarray(wins.diameters)):
-        logger.warning(
-            "window clusters reached max_windows=%d; raise "
-            "AnalysisConfig.max_windows if this system may have more",
-            len(np.asarray(wins.diameters)),
-        )
+    saturated = int(wins.n_clusters) >= len(np.asarray(wins.diameters))
     if not bool(wins.any_open):
         windows = {"diameters": None, "centre_of_mass": None}
     else:
@@ -326,7 +339,7 @@ def to_properties_dict(res: FullAnalysis) -> dict:
                 "one of the analysed windows has a vdW-corrected diameter "
                 "smaller than 0; see manual"
             )
-    return {
+    out = {
         "centre_of_mass": np.asarray(res.centre_of_mass),
         "maximum_diameter": {
             "diameter": float(res.maximum_diameter),
@@ -348,3 +361,10 @@ def to_properties_dict(res: FullAnalysis) -> dict:
         "windows": windows,
         "molecular_weight": float(res.molecular_weight),
     }
+    if saturated:
+        # the cluster count hit the window-slot cap: more windows may
+        # exist than slots.  Host entry points pop this marker and
+        # re-run the molecule with a doubled cap (the reference has no
+        # cap, so silent truncation is a parity bug, not a feature).
+        out["_window_cap_saturated"] = True
+    return out

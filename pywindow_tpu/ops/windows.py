@@ -269,6 +269,10 @@ def find_windows(
     survives = open_pre & path.ok & has_pore
     any_open = jnp.any(survives)
 
+    # dense eps-graph: measured faster than the (P, K) candidate-list
+    # variant on TPU (gathers lose to the regular (P, P) compute here;
+    # cluster.dbscan_spiral remains available for gather-friendly
+    # backends)
     labels, n_clusters = dbscan(
         points,
         survives,

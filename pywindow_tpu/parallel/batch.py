@@ -246,4 +246,56 @@ def analyze_batch(
             pad_atoms=pad_atoms,
             mesh_key=mesh_key,
         )
-        return collect_batch(handle)
+        results = collect_batch(handle)
+    return retry_saturated_windows(
+        systems,
+        results,
+        cfg,
+        reference_max_diameter=reference_max_diameter,
+        shard=shard,
+        pad_atoms=pad_atoms,
+        mesh_key=mesh_key,
+    )
+
+
+def retry_saturated_windows(
+    systems,
+    results: list[dict],
+    cfg: AnalysisConfig,
+    **analyze_kwargs,
+) -> list[dict]:
+    """Escalate molecules whose window clusters saturated the slot cap.
+
+    ``to_properties_dict`` marks saturated results; those systems re-run
+    with a doubled ``max_windows`` (recursively, up to
+    ``MAX_WINDOWS_CEILING``) so no window is ever silently truncated —
+    the reference has no cap at all.  Pops the marker from every
+    result.
+    """
+    import dataclasses
+    import logging
+
+    from pywindow_tpu.config import MAX_WINDOWS_CEILING
+
+    idxs = [
+        i
+        for i, r in enumerate(results)
+        if r.pop("_window_cap_saturated", False)
+    ]
+    if not idxs:
+        return results
+    if cfg.max_windows >= MAX_WINDOWS_CEILING:
+        logging.getLogger("pywindow_tpu").warning(
+            "%d molecule(s) still saturate max_windows=%d at the "
+            "escalation ceiling; raise AnalysisConfig.max_windows",
+            len(idxs),
+            cfg.max_windows,
+        )
+        return results
+    cfg2 = dataclasses.replace(cfg, max_windows=2 * cfg.max_windows)
+    redo = analyze_batch(
+        [systems[i] for i in idxs], cfg2, **analyze_kwargs
+    )
+    for i, r in zip(idxs, redo):
+        results[i] = r
+    return results

@@ -324,6 +324,19 @@ class Trajectory:
             return jobs, systems
 
         def store(chunk, jobs, systems, results):
+            from pywindow_tpu.config import DEFAULT_CONFIG
+            from pywindow_tpu.parallel.batch import (
+                retry_saturated_windows,
+            )
+
+            # molecules whose window clusters saturated the slot cap
+            # re-run with an escalated cap before anything is recorded
+            results = retry_saturated_windows(
+                systems,
+                results,
+                DEFAULT_CONFIG,
+                reference_max_diameter=reference_max_diameter,
+            )
             for idx, ((frame, key), props) in enumerate(
                 zip(jobs, results)
             ):

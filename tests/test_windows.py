@@ -189,3 +189,35 @@ def test_config_variants_on_batvup():
     dense = run(dataclasses.replace(DEFAULT_CONFIG, adjust=1.5))
     assert len(dense) == 2
     np.testing.assert_allclose(dense, base, atol=0.05)
+
+
+def test_window_cap_escalation():
+    """A saturated window-slot cap must escalate (cap doubled, re-run)
+    until every cluster fits: the reference has NO cap, so silent
+    truncation would be a parity bug.  CC3's 4 windows forced through
+    max_windows=2 must come back complete, serial and batched."""
+    import dataclasses
+
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.ops.analysis import analyze
+    from pywindow_tpu.parallel.batch import analyze_batch
+    from tests.conftest import load_xyz
+
+    elements, coords = load_xyz(DATA / "PUDXES.xyz")
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_windows=2)
+
+    ref = analyze(elements, coords)
+    assert "_window_cap_saturated" not in ref
+
+    got = analyze(elements, coords, cfg=cfg)
+    assert "_window_cap_saturated" not in got
+    np.testing.assert_allclose(
+        np.sort(got["windows"]["diameters"]),
+        np.sort(ref["windows"]["diameters"]),
+        atol=1e-10,
+    )
+
+    batch = analyze_batch([(elements, coords)] * 2, cfg=cfg)
+    for item in batch:
+        assert "_window_cap_saturated" not in item
+        assert len(item["windows"]["diameters"]) == 4

@@ -52,12 +52,21 @@ def nelder_mead(
     xatol: float = 1e-8,
     fatol: float = 1e-12,
     maxiter: int = 400,
+    f_batch: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Minimise ``f`` over R^d with the scipy fmin update rules.
 
     ``lower``/``upper`` clip every proposed vertex into the box (the
     reference enforces bounds through L-BFGS-B; clipping reproduces the
     same interior optima).  Returns ``(x_best, f_best)``.
+
+    ``f_batch``: optional fused (K, d) -> (K,) evaluator.  Every
+    candidate of one iteration (reflection, expansion, the two
+    contractions and the shrunk vertices) is then evaluated in ONE
+    batched call instead of per-candidate op chains — selection is
+    identical, but the while-body's sequential op chain (the dominant
+    latency inside vmapped pipelines, where ``lax.cond`` computes both
+    branches anyway) shrinks ~3x.
     """
     d = x0.shape[-1]
     if init_step is None:
@@ -70,10 +79,34 @@ def nelder_mead(
             x = jnp.minimum(x, upper)
         return x
 
+    if f_batch is None:
+        def f_batch(pts):  # noqa: E306
+            return jax.vmap(f)(pts)
+
+    def sort_simplex(sim, fsim):
+        """Stable sort of the d+1 vertices by f, as an unrolled
+        compare/select network (equivalent to the stable
+        ``jnp.argsort`` + gather, but ~10x cheaper inside a TPU while
+        body — XLA's sort lowering is a multi-pass bitonic with layout
+        shuffles).  Bubble passes with strict > swaps preserve the
+        original order of ties, matching stable argsort."""
+        n = sim.shape[0]
+        rows = [sim[i] for i in range(n)]
+        fs = [fsim[i] for i in range(n)]
+        for _ in range(n - 1):
+            for i in range(n - 1):
+                sw = fs[i] > fs[i + 1]
+                fi, fj = fs[i], fs[i + 1]
+                ri, rj = rows[i], rows[i + 1]
+                fs[i] = jnp.where(sw, fj, fi)
+                fs[i + 1] = jnp.where(sw, fi, fj)
+                rows[i] = jnp.where(sw, rj, ri)
+                rows[i + 1] = jnp.where(sw, ri, rj)
+        return jnp.stack(rows), jnp.stack(fs)
+
     sim = jax.vmap(clip)(_initial_simplex(x0, init_step))
-    fsim = jax.vmap(f)(sim)
-    order = jnp.argsort(fsim)
-    sim, fsim = sim[order], fsim[order]
+    fsim = f_batch(sim)
+    sim, fsim = sort_simplex(sim, fsim)
 
     def converged(sim, fsim):
         x_spread = jnp.max(jnp.abs(sim[1:] - sim[0]))
@@ -84,25 +117,28 @@ def nelder_mead(
         sim, fsim, it = state
         xbar = jnp.mean(sim[:-1], axis=0)
         xr = clip((1.0 + _RHO) * xbar - _RHO * sim[-1])
-        fxr = f(xr)
-
         xe = clip((1.0 + _RHO * _CHI) * xbar - _RHO * _CHI * sim[-1])
         xc = clip((1.0 + _PSI * _RHO) * xbar - _PSI * _RHO * sim[-1])
         xcc = clip((1.0 - _PSI) * xbar + _PSI * sim[-1])
+        shrunk_sim = jax.vmap(clip)(sim[0] + _SIGMA * (sim - sim[0]))
+
+        # one fused evaluation of every point this iteration could need;
+        # scipy evaluates lazily, but the values (hence the branch
+        # decisions below) are identical
+        cand = jnp.concatenate(
+            [jnp.stack([xr, xe, xc, xcc]), shrunk_sim[1:]], axis=0
+        )
+        fc = f_batch(cand)
+        fxr, fxe, fxc, fxcc = fc[0], fc[1], fc[2], fc[3]
+        shrunk_fsim = jnp.concatenate([fsim[:1], fc[4:]], axis=0)
 
         best = fxr < fsim[0]
         good = fxr < fsim[-2]
         worse = fxr < fsim[-1]
 
-        # Pick which single candidate (if any) replaces the worst vertex;
-        # evaluate only the one actually needed per the scipy branch order.
-        inf = jnp.asarray(jnp.inf, dtype=fsim.dtype)
-        fxe = jax.lax.cond(best, f, lambda _: inf, xe)
         use_xe = best & (fxe < fxr)
         need_xc = (~best) & (~good) & worse
         need_xcc = (~best) & (~good) & (~worse)
-        fxc = jax.lax.cond(need_xc, f, lambda _: inf, xc)
-        fxcc = jax.lax.cond(need_xcc, f, lambda _: inf, xcc)
 
         accept_xc = need_xc & (fxc <= fxr)
         accept_xcc = need_xcc & (fxcc < fsim[-1])
@@ -124,13 +160,10 @@ def nelder_mead(
         replaced_sim = sim.at[-1].set(new_last)
         replaced_fsim = fsim.at[-1].set(new_flast)
 
-        shrunk_sim = jax.vmap(clip)(sim[0] + _SIGMA * (sim - sim[0]))
-        shrunk_fsim = jax.vmap(f)(shrunk_sim)
-
         sim = jnp.where(shrink, shrunk_sim, replaced_sim)
         fsim = jnp.where(shrink, shrunk_fsim, replaced_fsim)
-        order = jnp.argsort(fsim)
-        return sim[order], fsim[order], it + 1
+        sim, fsim = sort_simplex(sim, fsim)
+        return sim, fsim, it + 1
 
     def cond(state):
         sim, fsim, it = state
@@ -158,10 +191,10 @@ def brute_then_polish(
     with scipy's default initial-simplex rule and fmin's default
     tolerances (xtol=ftol=1e-4).
 
-    ``f_batch``: optional fused (K, d) -> (K,) evaluator for the grid
-    pass (callers route it through a Pallas kernel on TPU so the
-    (grid, atoms) clearance intermediate stays out of HBM); the polish
-    always uses the scalar ``f``.
+    ``f_batch``: optional fused (K, d) -> (K,) evaluator used for the
+    grid pass (callers route it through a Pallas kernel on TPU so the
+    (grid, atoms) clearance intermediate stays out of HBM) AND for the
+    per-iteration candidate batches of the polish.
     """
     gx = jnp.linspace(lower[0], upper[0], ns)
     gy = jnp.linspace(lower[1], upper[1], ns)
@@ -183,5 +216,6 @@ def brute_then_polish(
     # multiplies, which would round the selected grid point itself.
     x0 = jnp.sum(jnp.where(sel[:, None], grid, 0.0), axis=0)
     return nelder_mead(
-        f, x0, xatol=xatol, fatol=fatol, maxiter=maxiter
+        f, x0, xatol=xatol, fatol=fatol, maxiter=maxiter,
+        f_batch=f_batch,
     )

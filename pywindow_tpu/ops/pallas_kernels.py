@@ -139,6 +139,8 @@ def path_sweep_pallas(
     n_pad = _round_up(max(n, 128), 128)
     # cap the ray tile at the (8-aligned) ray count: the W-slot
     # refinement sweep has P~16 and must not pad to a 512-ray tile.
+    # (Halving the tile to trim ray padding was measured neutral — the
+    # step loop is atom-dimension bound.)
     tile_p = min(_pick_tile_p(n_pad), _round_up(max(p, 8), 8))
     p_pad = _round_up(max(p, 8), tile_p)
 
@@ -250,6 +252,8 @@ def ray_exit_pallas(
     n_pad = _round_up(max(n, 128), 128)
     # cap the ray tile at the (8-aligned) ray count: the W-slot
     # refinement sweep has P~16 and must not pad to a 512-ray tile.
+    # (Halving the tile to trim ray padding was measured neutral — the
+    # step loop is atom-dimension bound.)
     tile_p = min(_pick_tile_p(n_pad), _round_up(max(p, 8), 8))
     p_pad = _round_up(max(p, 8), tile_p)
 

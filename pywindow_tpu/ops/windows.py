@@ -174,6 +174,12 @@ def _window_refine(
         pt = jnp.stack([xy[0], xy[1], z_star])[None, :]
         return -2.0 * clearance_field(pt, rmol)[0]
 
+    def f_xy_batch(xys):  # (K, 2) -> (K,): one fused clearance call
+        pts = jnp.concatenate(
+            [xys, jnp.full((xys.shape[0], 1), z_star, dtype)], axis=-1
+        )
+        return -2.0 * clearance_field(pts, rmol)
+
     half = wd0 / 2.0
     xy_star, _ = brute_then_polish(
         f_xy,
@@ -181,6 +187,7 @@ def _window_refine(
         jnp.stack([half, half]),
         ns=cfg.brute_ns,
         maxiter=cfg.nm_maxiter,
+        f_batch=f_xy_batch,
     )
 
     if cfg.z_second_mini:

@@ -12,13 +12,13 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pywindow_tpu.config import DEFAULT_CONFIG, AnalysisConfig
 from pywindow_tpu.ops.analysis import (
     full_analysis_device,
     max_dim_bound,
-    max_dim_host,
     pack_results,
     static_sizes,
     to_properties_dict,
@@ -101,20 +101,33 @@ def max_safe_batch(
     return max(1, int(hbm_budget // max(int(per_frame), 1)))
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_batch_maxd():
+    from pywindow_tpu.ops.geometry import max_dim
+
+    return jax.jit(
+        lambda m: jnp.max(jax.vmap(lambda x: max_dim(x)[2])(m))
+    )
+
+
 def _largest_exact_maxd(systems, bounds) -> float:
     """Exact maximum diameter of the batch's largest member.
 
-    The O(N) bound is an upper bound but not order-preserving against
-    the exact diameter, so candidates are examined in descending-bound
-    order until no remaining bound can beat the best exact value
-    (usually one or two exact computations).
+    Computed on device in encoded chunks: the host O(N^2) pairwise scan
+    costs ~1.4 ms/frame and the descending-bound early exit never fires
+    for same-size trajectory frames (the O(N) bound always exceeds the
+    exact value), which silently turned trajectory sweeps into
+    O(B * N^2) host work.  One batched device kernel replaces it.  On
+    TPU the reduction runs in float32 — a sampling-size flip at an
+    exact log10 integer boundary is possible but inside the documented
+    batched-vs-serial contract (and CPU x64 parity mode is exact).
     """
-    order = np.argsort(bounds)[::-1]
+    del bounds
     best = 0.0
-    for i in order:
-        if bounds[i] <= best:
-            break
-        best = max(best, max_dim_host(*systems[i]))
+    chunk = 2048
+    for lo in range(0, len(systems), chunk):
+        mols = encode_batch(systems[lo : lo + chunk])
+        best = max(best, float(_jit_batch_maxd()(mols)))
     return best
 
 
@@ -125,18 +138,26 @@ def dispatch_batch(
     shard: bool | None = None,
     pad_atoms: int | None = None,
     mesh_key: str | tuple | None = None,
+    pad_batch_to: int | None = None,
 ):
     """Encode + asynchronously dispatch one batch; returns a handle.
 
     Dispatch returns before the device finishes, so the host can decode
     the next batch while this one computes (collect with
     :func:`collect_batch`).
+
+    ``pad_batch_to``: pad the batch axis up to this size with copies of
+    the first system (results sliced off on collect).  Sweeps use it to
+    keep every chunk — including the final remainder — on ONE compiled
+    shape: an odd-sized last chunk otherwise costs a fresh ~15 s XLA
+    compile that dwarfs the sweep itself.
     """
     n_dev = len(jax.devices())
     if shard is None:
         shard = n_dev > 1
     b = len(systems)
-    b_pad = pad_batch_to_devices(b, n_dev) if shard else b
+    b_target = max(b, pad_batch_to or 0)
+    b_pad = pad_batch_to_devices(b_target, n_dev) if shard else b_target
     padded = list(systems) + [systems[0]] * (b_pad - b)
     mols = encode_batch(padded, pad_to=pad_atoms)
 
@@ -145,7 +166,9 @@ def dispatch_batch(
     # bigger members too sparsely.
     bounds = [max_dim_bound(e, c) for e, c in systems]
     if reference_max_diameter is None:
-        reference_max_diameter = _largest_exact_maxd(systems, bounds)
+        # device reduction over the already-encoded batch (see
+        # _largest_exact_maxd for why not the host pairwise scan)
+        reference_max_diameter = float(_jit_batch_maxd()(mols))
     n_win, n_avg, l1, l2 = static_sizes(reference_max_diameter, cfg)
     _, _, l1_b, l2_b = static_sizes(max(bounds), cfg)
     l1, l2 = max(l1, l1_b), max(l2, l2_b)
@@ -191,6 +214,7 @@ def analyze_batch(
     shard: bool | None = None,
     pad_atoms: int | None = None,
     mesh_key: str | tuple | None = None,
+    pad_batch_to: int | None = None,
 ) -> list[dict]:
     """Analyse many (elements, coordinates) systems in one device sweep.
 
@@ -233,6 +257,8 @@ def analyze_batch(
                     shard=shard,
                     pad_atoms=pad_atoms,
                     mesh_key=mesh_key,
+                    # remainder chunks reuse the full-chunk program
+                    pad_batch_to=safe,
                 )
             )
         return out
@@ -245,6 +271,7 @@ def analyze_batch(
             shard=shard,
             pad_atoms=pad_atoms,
             mesh_key=mesh_key,
+            pad_batch_to=pad_batch_to,
         )
         results = collect_batch(handle)
     return retry_saturated_windows(

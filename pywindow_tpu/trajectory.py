@@ -298,29 +298,39 @@ class Trajectory:
                 )
             return
 
+        def prepare_one(frame):
+            # consume (pop) the exact-sizes pre-scan cache so memory
+            # is released as the sweep progresses
+            molsys = None
+            if _frame_cache is not None:
+                molsys = _frame_cache.pop(frame, None)
+            if molsys is None:
+                molsys = self._get_frame(
+                    frame_no=frame,
+                    swap_atoms=swap_atoms,
+                    forcefield=forcefield,
+                )
+            if modular:
+                molsys.make_modular(rebuild=rebuild)
+                mols = molsys.molecules
+            else:
+                mols = {"0": molsys.system_to_molecule()}
+            return [
+                ((frame, key), (mol.elements, mol.coordinates))
+                for key, mol in mols.items()
+            ]
+
         def prepare(chunk):
             jobs = []  # (frame, molecule key) — keys as make_modular emits
             systems = []
-            for frame in chunk:
-                # consume (pop) the exact-sizes pre-scan cache so memory
-                # is released as the sweep progresses
-                molsys = None
-                if _frame_cache is not None:
-                    molsys = _frame_cache.pop(frame, None)
-                if molsys is None:
-                    molsys = self._get_frame(
-                        frame_no=frame,
-                        swap_atoms=swap_atoms,
-                        forcefield=forcefield,
-                    )
-                if modular:
-                    molsys.make_modular(rebuild=rebuild)
-                    mols = molsys.molecules
-                else:
-                    mols = {"0": molsys.system_to_molecule()}
-                for key, mol in mols.items():
-                    jobs.append((frame, key))
-                    systems.append((mol.elements, mol.coordinates))
+            # (a ThreadPoolExecutor over frames was tried here and
+            # regressed badly — the per-frame python layers serialize on
+            # the GIL and thrash; the native decoder alone is too small
+            # a fraction to win)
+            for items in (prepare_one(f) for f in chunk):
+                for job, system in items:
+                    jobs.append(job)
+                    systems.append(system)
             return jobs, systems
 
         def store(chunk, jobs, systems, results):
@@ -382,6 +392,10 @@ class Trajectory:
                 idxs = [i for i, q in enumerate(pads) if q == p]
                 maxd = max(bounds[i] for i in idxs)
                 safe = max_safe_batch(p, maxd)
+                # one compiled shape per bucket: sub-batches (incl. the
+                # final remainder) pad up to a common size, otherwise
+                # every odd-sized chunk costs a fresh XLA compile
+                target = min(safe, max(batch_size, 1))
                 for lo in range(0, len(idxs), safe):
                     part = idxs[lo : lo + safe]
                     handles.append(
@@ -389,6 +403,9 @@ class Trajectory:
                             [systems[i] for i in part],
                             reference_max_diameter=ref,
                             pad_atoms=p,
+                            pad_batch_to=(
+                                safe if len(part) > target else target
+                            ),
                         )
                     )
                     order.extend(part)

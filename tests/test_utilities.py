@@ -212,3 +212,24 @@ def test_mixed_size_batch():
         atol=0.01,
     )
     assert len(res[2]["windows"]["diameters"]) == 2
+
+
+def test_dispatch_pad_batch_to(cc3_arrays):
+    """A padded dispatch (odd remainder pinned to the steady chunk
+    shape) must return exactly the unpadded systems' results."""
+    from pywindow_tpu.parallel.batch import analyze_batch
+
+    elements, coords = cc3_arrays
+    systems = [(elements, coords + 0.01 * i) for i in range(3)]
+    plain = analyze_batch(systems, shard=False)
+    padded = analyze_batch(systems, shard=False, pad_batch_to=8)
+    assert len(padded) == 3
+    for a, b in zip(padded, plain):
+        assert a["pore_diameter"]["diameter"] == pytest.approx(
+            b["pore_diameter"]["diameter"], abs=1e-12
+        )
+        np.testing.assert_allclose(
+            np.sort(a["windows"]["diameters"]),
+            np.sort(b["windows"]["diameters"]),
+            atol=1e-10,
+        )

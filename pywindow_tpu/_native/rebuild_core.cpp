@@ -27,6 +27,7 @@
 
 #include <cstdint>
 #include <cstdlib>
+#include <cstring>
 #include <cmath>
 #include <vector>
 #include <unordered_set>
@@ -223,6 +224,133 @@ long pw_decode_dlpoly_frame(
             next_line();
         }
         ++atom;
+    }
+    return atom;
+}
+
+// XYZ trajectory frame decoder: line 1 = atom count, line 2 = remark,
+// then "name x y z" per atom.  Returns atoms parsed or -1 on error.
+long pw_decode_xyz_frame(
+    const char* text, long len,
+    char* ids /*cap * 9, zero-padded*/, double* xyz /*cap * 3*/,
+    long cap_atoms) {
+    long pos = 0;
+    auto next_line = [&]() {
+        while (pos < len && text[pos] != '\n') ++pos;
+        if (pos < len) ++pos;
+    };
+    auto skip_ws = [&]() {
+        while (pos < len &&
+               (text[pos] == ' ' || text[pos] == '\t' ||
+                text[pos] == '\r'))
+            ++pos;
+    };
+    auto parse_double = [&](double* out) -> bool {
+        skip_ws();
+        if (pos >= len) return false;
+        char* end = nullptr;
+        *out = std::strtod(text + pos, &end);
+        if (end == text + pos) return false;
+        pos = end - text;
+        return true;
+    };
+    next_line();  // atom count (validated by the mapper)
+    next_line();  // remark
+    long atom = 0;
+    while (pos < len) {
+        skip_ws();
+        if (pos >= len || text[pos] == '\n') {
+            next_line();
+            continue;
+        }
+        if (atom >= cap_atoms) return -1;
+        long w0 = pos;
+        while (pos < len && text[pos] != ' ' && text[pos] != '\t' &&
+               text[pos] != '\n')
+            ++pos;
+        long wlen = pos - w0;
+        if (wlen > 8) wlen = 8;
+        for (long k = 0; k < 9; ++k)
+            ids[atom * 9 + k] = k < wlen ? text[w0 + k] : '\0';
+        double x, y, z;
+        if (!parse_double(&x) || !parse_double(&y) || !parse_double(&z))
+            return -1;
+        xyz[atom * 3 + 0] = x;
+        xyz[atom * 3 + 1] = y;
+        xyz[atom * 3 + 2] = z;
+        next_line();
+        ++atom;
+    }
+    return atom;
+}
+
+// PDB trajectory frame decoder: fixed-column ATOM/HETATM records
+// (atom name cols 13-16, coordinates cols 31-54) plus the CRYST1 cell
+// (a,b,c,alpha,beta,gamma).  Returns atoms parsed or -1 on error;
+// *has_cryst is set when a non-zero CRYST1 was found.
+long pw_decode_pdb_frame(
+    const char* text, long len,
+    char* ids /*cap * 9*/, double* xyz /*cap * 3*/,
+    double* cryst /*6*/, long* has_cryst, long cap_atoms) {
+    long pos = 0;
+    *has_cryst = 0;
+    auto fixed_double = [&](long start, long width, double* out) -> bool {
+        char buf[16];
+        if (width > 15) return false;
+        for (long k = 0; k < width; ++k) {
+            char c = (pos + start + k < len) ? text[pos + start + k] : ' ';
+            buf[k] = (c == '\n') ? ' ' : c;
+        }
+        buf[width] = '\0';
+        char* end = nullptr;
+        *out = std::strtod(buf, &end);
+        return end != buf;
+    };
+    long atom = 0;
+    while (pos < len) {
+        long line_len = 0;
+        while (pos + line_len < len && text[pos + line_len] != '\n')
+            ++line_len;
+        if (line_len >= 6) {
+            bool is_atom =
+                std::strncmp(text + pos, "HETATM", 6) == 0 ||
+                std::strncmp(text + pos, "ATOM  ", 6) == 0;
+            if (is_atom) {
+                if (atom >= cap_atoms || line_len < 54) return -1;
+                // atom name: cols 12..15, stripped
+                long s = 12, e = 16;
+                while (s < e && text[pos + s] == ' ') ++s;
+                while (e > s && text[pos + e - 1] == ' ') --e;
+                long wlen = e - s;
+                if (wlen > 8) wlen = 8;
+                for (long k = 0; k < 9; ++k)
+                    ids[atom * 9 + k] =
+                        k < wlen ? text[pos + s + k] : '\0';
+                double x, y, z;
+                if (!fixed_double(30, 8, &x) || !fixed_double(38, 8, &y) ||
+                    !fixed_double(46, 8, &z))
+                    return -1;
+                xyz[atom * 3 + 0] = x;
+                xyz[atom * 3 + 1] = y;
+                xyz[atom * 3 + 2] = z;
+                ++atom;
+            } else if (std::strncmp(text + pos, "CRYST1", 6) == 0 &&
+                       line_len >= 54) {
+                double v[6];
+                bool ok = fixed_double(6, 9, &v[0]) &&
+                          fixed_double(15, 9, &v[1]) &&
+                          fixed_double(24, 9, &v[2]) &&
+                          fixed_double(33, 7, &v[3]) &&
+                          fixed_double(40, 7, &v[4]) &&
+                          fixed_double(47, 7, &v[5]);
+                if (ok && v[0] + v[1] + v[2] != 0.0) {
+                    for (int k = 0; k < 6; ++k) cryst[k] = v[k];
+                    *has_cryst = 1;
+                }
+            }
+        }
+        pos += line_len;
+        if (pos < len) ++pos;  // consume newline
     }
     return atom;
 }

@@ -103,6 +103,16 @@ def lib() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
         c_d, ctypes.c_char_p, c_d, c_d, c_d, ctypes.c_long,
     ]
+    L.pw_decode_xyz_frame.restype = ctypes.c_long
+    L.pw_decode_xyz_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, c_d,
+        ctypes.c_long,
+    ]
+    L.pw_decode_pdb_frame.restype = ctypes.c_long
+    L.pw_decode_pdb_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, c_d, c_d,
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+    ]
     _LIB = L
     return _LIB
 
@@ -225,4 +235,58 @@ def decode_dlpoly_frame(
         lattice,
         vel[:got].copy() if vel is not None else None,
         frc[:got].copy() if frc is not None else None,
+    )
+
+
+def decode_xyz_frame(
+    raw: bytes, n_atoms_hint: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native decode of one XYZ trajectory frame body.
+
+    Returns (atom_ids '<U8', coordinates (N,3)) or None when the native
+    library is unavailable / parsing fails.  Header lines (count,
+    remark) are skipped here and handled by the caller.
+    """
+    L = lib()
+    if L is None:
+        return None
+    cap = max(n_atoms_hint, 1)
+    ids = ctypes.create_string_buffer(cap * 9)
+    xyz = np.empty((cap, 3), dtype=np.float64)
+    got = L.pw_decode_xyz_frame(
+        raw, len(raw), ids, _ptr(xyz, ctypes.c_double), cap
+    )
+    if got < 0:
+        return None
+    id_arr = np.frombuffer(ids.raw, dtype="S9", count=got).astype("<U8")
+    return id_arr, xyz[:got].copy()
+
+
+def decode_pdb_frame(
+    raw: bytes, n_atoms_hint: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None] | None:
+    """Native decode of one PDB trajectory frame.
+
+    Returns (atom_ids '<U8' from the atom-name columns, coordinates
+    (N,3), CRYST1 (6,) or None) or None when unavailable / parse error.
+    """
+    L = lib()
+    if L is None:
+        return None
+    cap = max(n_atoms_hint, 1)
+    ids = ctypes.create_string_buffer(cap * 9)
+    xyz = np.empty((cap, 3), dtype=np.float64)
+    cryst = np.zeros(6, dtype=np.float64)
+    has_cryst = ctypes.c_long(0)
+    got = L.pw_decode_pdb_frame(
+        raw, len(raw), ids, _ptr(xyz, ctypes.c_double),
+        _ptr(cryst, ctypes.c_double), ctypes.byref(has_cryst), cap
+    )
+    if got < 0:
+        return None
+    id_arr = np.frombuffer(ids.raw, dtype="S9", count=got).astype("<U8")
+    return (
+        id_arr,
+        xyz[:got].copy(),
+        cryst if has_cryst.value else None,
     )

@@ -790,6 +790,28 @@ class XYZ(Trajectory):
                 progress += len(bline)
         self.no_of_frames = frame + 1
 
+    def _decode_raw(self, raw: str) -> dict:
+        head, _, _ = raw.partition("\n")
+        rest = raw[len(head) + 1 :]
+        remark, _, _ = rest.partition("\n")
+        natms = int(head.split()[0])
+
+        from pywindow_tpu import native
+
+        got = native.decode_xyz_frame(raw.encode(), n_atoms_hint=natms)
+        if got is not None and len(got[0]) == natms:
+            ids, coords = got
+            return {
+                "frame_info": {
+                    "natms": natms,
+                    "remarks": " ".join(remark.split()),
+                },
+                "atom_ids": ids,
+                "coordinates": coords,
+            }
+        frame = [ln.split() for ln in raw.split("\n")][:-1]
+        return self._decode_frame(frame)
+
     def _decode_frame(self, frame: list) -> dict:
         out = {
             "frame_info": {
@@ -848,7 +870,7 @@ class PDB(Trajectory):
         if not kw.get("extract_data", True):
             return raw
         molsys = MolecularSystem.load_system(
-            self._decode_frame(raw.split("\n")),
+            self._decode_raw_pdb(raw),
             "_".join([self.system_id, str(frame_no)]),
         )
         if kw.get("swap_atoms") is not None:
@@ -856,6 +878,30 @@ class PDB(Trajectory):
         if kw.get("forcefield") is not None:
             molsys.decipher_atom_keys(kw["forcefield"])
         return molsys
+
+    def _decode_raw_pdb(self, raw: str) -> dict:
+        """Native fixed-column decode with python fallback.
+
+        REMARK records are rare in MD frames; they fall back to the
+        python path so the dict shape stays identical.
+        """
+        if "REMARK" not in raw:
+            from pywindow_tpu import native
+
+            cap = raw.count("\n") + 1
+            got = native.decode_pdb_frame(raw.encode(), n_atoms_hint=cap)
+            if got is not None:
+                ids, coords, cryst = got
+                out: dict = {
+                    "atom_ids": ids,
+                    "coordinates": coords,
+                }
+                if cryst is not None:
+                    out["CRYST1"] = cryst
+                    out["unit_cell"] = cryst
+                    out["lattice"] = unit_cell_to_lattice_array(cryst)
+                return out
+        return self._decode_frame(raw.split("\n"))
 
     def _decode_frame(self, lines: list[str]) -> dict:
         out: dict = {}

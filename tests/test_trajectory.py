@@ -359,3 +359,62 @@ def test_varying_n_trajectory_buckets_by_pad(tmp_path, monkeypatch):
             assert len(a["windows"]["diameters"]) == len(
                 b["windows"]["diameters"]
             )
+
+
+def test_xyz_native_decode_matches_python(tmp_path, monkeypatch):
+    from pywindow_tpu import native
+    from tests.conftest import load_xyz
+
+    elements, coords = load_xyz(DATA / "PUDXES.xyz")
+    lines = [str(len(elements)), "remark line here"]
+    lines += [
+        f"{el} {x:.6f} {y:.6f} {z:.6f}"
+        for el, (x, y, z) in zip(elements, coords)
+    ]
+    out = tmp_path / "one.xyz"
+    out.write_text("\n".join(lines) + "\n")
+    xyz = pw.XYZ(out)
+
+    raw = xyz._frame_slice(0).decode("utf-8")
+    got = native.decode_xyz_frame(raw.encode(), n_atoms_hint=len(elements))
+    assert got is not None, "native decoder must be available here"
+    native_out = xyz._decode_raw(raw)
+
+    monkeypatch.setattr(native, "decode_xyz_frame", lambda *a, **k: None)
+    python_out = xyz._decode_raw(raw)
+
+    assert list(native_out["atom_ids"]) == list(python_out["atom_ids"])
+    np.testing.assert_array_equal(
+        native_out["coordinates"], python_out["coordinates"]
+    )
+    assert (
+        native_out["frame_info"]["remarks"]
+        == python_out["frame_info"]["remarks"]
+    )
+
+
+def test_pdb_native_decode_matches_python(monkeypatch):
+    from pywindow_tpu import native
+
+    traj = pw.PDB(DATA / "system_periodic.pdb")
+    raw = traj._frame_slice(0).decode("utf-8")
+
+    cap = raw.count("\n") + 1
+    got = native.decode_pdb_frame(raw.encode(), n_atoms_hint=cap)
+    assert got is not None, "native decoder must be available here"
+    native_out = traj._decode_raw_pdb(raw)
+
+    monkeypatch.setattr(native, "decode_pdb_frame", lambda *a, **k: None)
+    python_out = traj._decode_frame(raw.split("\n"))
+
+    assert list(native_out["atom_ids"]) == list(python_out["atom_ids"])
+    np.testing.assert_array_equal(
+        native_out["coordinates"], python_out["coordinates"]
+    )
+    if "CRYST1" in python_out:
+        np.testing.assert_array_equal(
+            native_out["CRYST1"], python_out["CRYST1"]
+        )
+        np.testing.assert_array_equal(
+            native_out["lattice"], python_out["lattice"]
+        )

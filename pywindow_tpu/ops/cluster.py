@@ -113,6 +113,10 @@ def dbscan(
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     pair_valid = valid[:, None] & valid[None, :]
     adj = pair_valid & (dist <= eps)  # includes self (dist 0 <= eps)
+    # materialise the bools once: without the barrier the border pass
+    # re-reads the f32 (B, P, P) distance matrix (3.7 GB at B=1440)
+    # instead of the packed predicate (profiled: 17.6 ms -> ~3 ms)
+    adj = jax.lax.optimization_barrier(adj)
 
     n_neighbors = jnp.sum(adj, axis=1)  # adj is already validity-masked
     core = valid & (n_neighbors >= min_samples)

@@ -643,8 +643,8 @@ def lbfgsb_minimize(
         s_hist,
         y_hist,
         jnp.asarray(1.0, dtype),  # theta
-        jnp.asarray(0, jnp.int32),  # pairs stored so far (ring indices
-        #                             wrap modulo m; this keeps counting)
+        jnp.asarray(0, jnp.int32),  # pairs stored so far (histories are
+        #                             chronological; capped reads at m)
         jnp.asarray(0, jnp.int32),  # iteration (successful steps only)
         jnp.asarray(0, jnp.int32),  # while-loop trips incl. restarts
         jnp.asarray(False),  # done
@@ -656,11 +656,12 @@ def lbfgsb_minimize(
          conv) = state
 
         col = jnp.minimum(n_pairs, m)
-        # chronological (oldest-first) view of the ring buffers
-        ord_idx = (n_pairs - col + jnp.arange(m, dtype=jnp.int32)) % m
+        # the histories are stored chronologically (shift-on-overflow,
+        # see the update below), so no ring-index gather is needed —
+        # TPU gathers inside the while body were a measurable cost
         valid = jnp.arange(m) < col
-        s_ord = jnp.where(valid[:, None], s_hist[ord_idx], 0.0)
-        y_ord = jnp.where(valid[:, None], y_hist[ord_idx], 0.0)
+        s_ord = jnp.where(valid[:, None], s_hist, 0.0)
+        y_ord = jnp.where(valid[:, None], y_hist, 0.0)
         bmat = _build_b(s_ord, y_ord, valid, theta, d_dim)
 
         xcp_z, free = _cauchy(x, g, lower, upper, bmat, theta, epsmch)
@@ -720,9 +721,22 @@ def lbfgsb_minimize(
         store = step_ok & (dr > _EPS64 * ddum)
         s = res.stp * d
         y = gn - g
-        slot = n_pairs % m
-        s_hist_n = jnp.where(store, s_hist.at[slot].set(s), s_hist)
-        y_hist_n = jnp.where(store, y_hist.at[slot].set(y), y_hist)
+        # chronological append: write at the next free slot while the
+        # history is filling, shift-left (a static slice, not a gather)
+        # once full — the stored values and their order are identical
+        # to the Fortran ring buffer's logical view
+        full = n_pairs >= m
+        write_at = jnp.minimum(n_pairs, m - 1)
+        s_app = s_hist.at[write_at].set(s)
+        y_app = y_hist.at[write_at].set(y)
+        s_shift = jnp.concatenate([s_hist[1:], s[None, :]], axis=0)
+        y_shift = jnp.concatenate([y_hist[1:], y[None, :]], axis=0)
+        s_hist_n = jnp.where(
+            store, jnp.where(full, s_shift, s_app), s_hist
+        )
+        y_hist_n = jnp.where(
+            store, jnp.where(full, y_shift, y_app), y_hist
+        )
         n_pairs_n = jnp.where(store, n_pairs + 1, n_pairs)
         rr = _dot(y, y)
         theta_n = jnp.where(store, rr / jnp.where(dr == 0, 1.0, dr), theta)

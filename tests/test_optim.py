@@ -353,3 +353,38 @@ def test_lbfgsb_float32_small_com_moves():
     )(com, com - r, com + r)
     assert float(-res.fun) == pytest.approx(3.6289753088227567, abs=0.01)
     assert int(res.nit) > 0
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_lbfgsb_random_fuzz_vs_scipy(seed):
+    """Randomised parity sweep: random PSD quadratics plus a trig bump,
+    random (sometimes pinning) boxes and random starts must stop where
+    scipy stops."""
+    rng = np.random.default_rng(seed)
+    d = int(rng.integers(1, 4))
+    a = rng.normal(size=(d, d))
+    A = a @ a.T + np.eye(d) * 0.3
+    b = rng.normal(size=d) * 3.0
+    w = rng.normal(size=d)
+    amp = float(rng.uniform(0.0, 0.3))
+
+    def f_np(x):
+        return 0.5 * x @ A @ x - b @ x + amp * np.sin(w @ x)
+
+    Aj, bj, wj = jnp.asarray(A), jnp.asarray(b), jnp.asarray(w)
+
+    def f_b(X):
+        quad = 0.5 * jnp.einsum("ki,ij,kj->k", X, Aj, X) - X @ bj
+        return quad + amp * jnp.sin(X @ wj)
+
+    centre = rng.normal(size=d) * 2.0
+    half = rng.uniform(0.3, 2.0, size=d)
+    lo, hi = centre - half, centre + half
+    x0 = np.clip(rng.normal(size=d) * 2.0, lo, hi)
+
+    res = jax.jit(
+        lambda c, a_, b_: lbfgsb_minimize(f_b, c, a_, b_, maxiter=200)
+    )(jnp.asarray(x0), jnp.asarray(lo), jnp.asarray(hi))
+    ref = minimize(f_np, x0=x0, bounds=list(zip(lo, hi)))
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=2e-6)
+    assert float(res.fun) == pytest.approx(ref.fun, abs=1e-8)

@@ -19,6 +19,17 @@ import pathlib
 import sys
 import time
 
+import pathlib as _pathlib
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    str(_pathlib.Path(__file__).resolve().parent / ".jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 
 REPO = pathlib.Path(__file__).parent

@@ -6,6 +6,17 @@ import sys
 # allow running the examples straight from a checkout
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
+# persistent XLA compilation cache: example/script reruns skip the
+# 20-40 s per-program TPU compiles (same policy as tests/conftest.py)
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 
 import pywindow_tpu as pw

@@ -17,6 +17,7 @@ from pywindow_tpu.io.forcefield import (  # noqa: F401 (public re-exports)
     opls_notation,
 )
 from pywindow_tpu.io.outputs import to_list  # noqa: F401
+from pywindow_tpu.ops.rebuild import discrete_molecules  # noqa: F401
 from pywindow_tpu.ops.cell import (  # noqa: F401
     cart_to_frac,
     create_supercell,
@@ -499,3 +500,229 @@ def compare_properties_dict(
         if method == "int" and item1 != item2:
             return (False, prop)
     return (True, "none")
+
+
+# ---------------------------------------------------------------------
+# per-ray / per-window reference-surface functions
+# (reference: utilities.py:391-397, 434-458, 722-765, 820-1085,
+#  1100-1188, 1191-1361, 1556-1583)
+# ---------------------------------------------------------------------
+
+
+def correct_pore_diameter(com, *params):
+    """Negative pore diameter (the pore-optimisation objective;
+    reference: utilities.py:391-397)."""
+    elements, coordinates = params
+    return -pore_diameter(elements, coordinates, com=com)[0]
+
+
+def asphericity(shap) -> float:
+    """Asphericity from sorted tensor eigenvalues
+    (reference: utilities.py:434-435)."""
+    shap = np.asarray(shap, dtype=np.float64)
+    return float(shap[0] - (shap[1] + shap[2]) / 2)
+
+
+def acylidricity(shap) -> float:
+    """Acylindricity from sorted tensor eigenvalues
+    (reference: utilities.py:438-439)."""
+    shap = np.asarray(shap, dtype=np.float64)
+    return float(shap[1] - shap[2])
+
+
+def relative_shape_anisotropy(shap) -> float:
+    """Relative shape anisotropy from sorted tensor eigenvalues
+    (reference: utilities.py:442-446)."""
+    shap = np.asarray(shap, dtype=np.float64)
+    return float(
+        1
+        - 3
+        * (
+            (shap[0] * shap[1] + shap[0] * shap[2] + shap[1] * shap[2])
+            / (np.sum(shap)) ** 2
+        )
+    )
+
+
+def get_tensor_eigenvalues(arr, sort: bool = False) -> np.ndarray:
+    """Eigenvalues of a tensor, optionally sorted descending
+    (reference: utilities.py:449-458)."""
+    vals = np.linalg.eigvals(np.asarray(arr, dtype=np.float64))
+    if sort:
+        return np.array(sorted(vals, reverse=True))
+    return vals
+
+
+def fractional_from_cartesian(coordinate, lattice_array) -> np.ndarray:
+    """One cartesian coordinate -> fractional
+    (reference: utilities.py:722-729)."""
+    inv = np.linalg.inv(np.asarray(lattice_array, dtype=np.float64))
+    return (inv @ np.asarray(coordinate, dtype=np.float64).reshape(-1, 1)).reshape(
+        1, 3
+    )
+
+
+def cartisian_from_fractional(coordinate, lattice_array) -> np.ndarray:
+    """One fractional coordinate -> cartesian (the reference's spelling;
+    reference: utilities.py:732-739)."""
+    lat = np.asarray(lattice_array, dtype=np.float64)
+    return (lat @ np.asarray(coordinate, dtype=np.float64).reshape(-1, 1)).reshape(
+        1, 3
+    )
+
+
+def cart2frac_all(coordinates, lattice_array) -> np.ndarray:
+    """All cartesian coordinates -> fractional
+    (reference: utilities.py:742-752; vectorised here)."""
+    return cart_to_frac(
+        np.asarray(coordinates, dtype=np.float64),
+        np.asarray(lattice_array, dtype=np.float64),
+    )
+
+
+def frac2cart_all(frac_coordinates, lattice_array) -> np.ndarray:
+    """All fractional coordinates -> cartesian
+    (reference: utilities.py:755-765; vectorised here)."""
+    return frac_to_cart(
+        np.asarray(frac_coordinates, dtype=np.float64),
+        np.asarray(lattice_array, dtype=np.float64),
+    )
+
+
+def vector_analysis(vector, coordinates, elements_vdw, increment=1.0):
+    """Walk a sampling vector in ``increment`` steps; if every step has
+    positive clearance return ``[dist, width, *narrow, *vector]``, else
+    None (reference: utilities.py:1100-1129)."""
+    vector = np.asarray(vector, dtype=np.float64)
+    coordinates = np.asarray(coordinates, dtype=np.float64)
+    elements_vdw = np.asarray(elements_vdw, dtype=np.float64).reshape(-1)
+    chunks = int(np.linalg.norm(vector) // increment)
+    if chunks == 0:
+        return None
+    chunk = vector / chunks
+    pathway = np.array([chunk * i for i in range(chunks + 1)])
+    dists = np.sqrt(
+        ((coordinates[None, :, :] - pathway[:, None, :]) ** 2).sum(-1)
+    )
+    analysed = np.amin(dists - elements_vdw[None, :], axis=1)
+    if np.all(analysed > 0):
+        pos = int(np.argmin(analysed))
+        dist = float(np.linalg.norm(chunk * pos))
+        return np.array([dist, analysed[pos] * 2, *(chunk * pos), *vector])
+    return None
+
+
+def _front_intersections(vector, coordinates, elements_vdw):
+    """Analytic ray/vdW-sphere intersections; yields (|p1|, p1) for
+    spheres whose nearer crossing is in front (shared by the
+    pre-analysis and the reversed exit scan)."""
+    vector = np.asarray(vector, dtype=np.float64)
+    coordinates = np.asarray(coordinates, dtype=np.float64)
+    elements_vdw = np.asarray(elements_vdw, dtype=np.float64).reshape(-1)
+    norm_vec = vector / np.linalg.norm(vector)
+    origin = coordinates.mean(axis=0)
+    length = coordinates - origin
+    t_ca = length @ norm_vec
+    d2 = np.einsum("ij,ij->i", length, length) - t_ca**2
+    under = elements_vdw**2 - d2
+    out = []
+    for pos in np.flatnonzero(under > 0):
+        t_hc = np.sqrt(under[pos])
+        p_0 = origin + (t_ca[pos] - t_hc) * norm_vec
+        p_1 = origin + (t_ca[pos] + t_hc) * norm_vec
+        if np.linalg.norm(p_0) < np.linalg.norm(p_1):
+            out.append((float(np.linalg.norm(p_1)), p_1))
+    return out
+
+
+def vector_preanalysis(vector, coordinates, elements_vdw, increment=1.0):
+    """Reject rays blocked by a front sphere crossing; open rays proceed
+    to :func:`vector_analysis` (reference: utilities.py:1132-1161)."""
+    if _front_intersections(vector, coordinates, elements_vdw):
+        return None
+    return vector_analysis(vector, coordinates, elements_vdw, increment)
+
+
+def vector_analysis_reversed(vector, coordinates, elements_vdw):
+    """Farthest front vdW-sphere exit along the ray, for the average
+    diameter (reference: utilities.py:1556-1583)."""
+    hits = _front_intersections(vector, coordinates, elements_vdw)
+    if not hits:
+        return None
+    dist, point = max(hits, key=lambda h: h[0])
+    return [dist, point]
+
+
+def optimise_xy(xy, *args):
+    """Window xy objective: negative pore diameter at (x, y, z)
+    (reference: utilities.py:1164-1171)."""
+    z, elements, coordinates = args
+    com = np.array([xy[0], xy[1], z])
+    return -pore_diameter(elements, coordinates, com=com)[0]
+
+
+def optimise_z(z, *args):
+    """Window z objective: pore diameter at (x, y, z)
+    (reference: utilities.py:1174-1188)."""
+    x, y, elements, coordinates = args
+    com = np.array([x, y, np.asarray(z).reshape(-1)[0]])
+    return pore_diameter(elements, coordinates, com=com)[0]
+
+
+def window_analysis(
+    window,
+    elements,
+    coordinates,
+    elements_vdw=None,
+    increment2: float = 0.1,
+    z_bounds=None,
+    lb_z: bool = True,
+    z_second_mini: bool = False,
+):
+    """Refine one window cluster: widest ray, octant rotation, z/xy
+    optimisation; returns ``(diameter, window_centre)`` or None
+    (reference: utilities.py:1191-1361).
+
+    Delegates to the fused device refinement
+    (:func:`pywindow_tpu.ops.windows._window_refine`), which reproduces
+    the reference's optimiser behaviour; ``elements_vdw`` is accepted
+    for signature compatibility but radii always come from the chemical
+    tables (as the reference's do upstream).  ``coordinates`` must be
+    pore-centred, as in the reference's calling convention.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.ops import rays as _rays
+    from pywindow_tpu.ops.windows import _window_refine
+
+    del z_bounds, elements_vdw
+    window = np.atleast_2d(np.asarray(window, dtype=np.float64))
+    vector = window[window.argmax(axis=0)[1]][5:8]
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        increment2=float(increment2),
+        lb_z=bool(lb_z),
+        z_second_mini=bool(z_second_mini),
+    )
+    mol = _encode(elements, coordinates)
+    l2 = int(np.linalg.norm(vector) // increment2) + 2
+    l2 = ((l2 + 7) // 8) * 8
+    refined = _rays.path_analysis(
+        jnp.asarray(vector)[None, :], mol, cfg.increment2, l2
+    )
+    if not bool(np.asarray(refined.ok)[0]):
+        return None
+    diameter, centre, ok = _window_refine(
+        mol,
+        jnp.asarray(vector),
+        refined.ok[0],
+        refined.dist[0],
+        cfg,
+    )
+    if not bool(ok):
+        return None
+    return float(diameter), np.asarray(centre)

@@ -12,6 +12,17 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
+import pathlib as _pathlib
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    str(_pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 
 import pywindow_tpu as pw  # noqa: E402

@@ -392,20 +392,21 @@ class Trajectory:
                 idxs = [i for i, q in enumerate(pads) if q == p]
                 maxd = max(bounds[i] for i in idxs)
                 safe = max_safe_batch(p, maxd)
-                # one compiled shape per bucket: sub-batches (incl. the
-                # final remainder) pad up to a common size, otherwise
-                # every odd-sized chunk costs a fresh XLA compile
-                target = min(safe, max(batch_size, 1))
                 for lo in range(0, len(idxs), safe):
                     part = idxs[lo : lo + safe]
+                    # one compiled shape per sweep: remainder chunks pad
+                    # up to the steady chunk size (otherwise every odd
+                    # size costs a fresh XLA compile) — but never
+                    # INFLATE a batch beyond the sweep's natural size
+                    # (modular frames can emit few systems per chunk;
+                    # padding those to `safe` would be a monster batch)
+                    target = min(safe, max(batch_size, len(part), 1))
                     handles.append(
                         dispatch_batch(
                             [systems[i] for i in part],
                             reference_max_diameter=ref,
                             pad_atoms=p,
-                            pad_batch_to=(
-                                safe if len(part) > target else target
-                            ),
+                            pad_batch_to=target,
                         )
                     )
                     order.extend(part)

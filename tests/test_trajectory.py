@@ -418,3 +418,28 @@ def test_pdb_native_decode_matches_python(monkeypatch):
         np.testing.assert_array_equal(
             native_out["lattice"], python_out["lattice"]
         )
+
+
+def test_pdb_trajectory_batched_with_rebuild(tmp_path):
+    """PDB trajectory: the batched sweep with per-frame modular rebuild
+    must match the serial path per molecule."""
+    base = (DATA / "system_periodic.pdb").read_text()
+    frame = base[: base.rindex("END")] + "END\n"
+    trajfile = tmp_path / "ptraj.pdb"
+    trajfile.write_text(frame * 3)
+
+    t1 = pw.PDB(trajfile)
+    t1.analysis_batched(
+        frames="all", batch_size=2, modular=True, rebuild=True,
+        forcefield="DLF",
+    )
+    t2 = pw.PDB(trajfile)
+    t2.analysis(frames=[1], modular=True, rebuild=True, forcefield="DLF")
+
+    assert sorted(t1.analysis_output) == [0, 1, 2]
+    a, b = t1.analysis_output[1], t2.analysis_output[1]
+    assert len(a) == len(b) == 8
+    for key in b:
+        assert a[key]["pore_diameter_opt"]["diameter"] == pytest.approx(
+            b[key]["pore_diameter_opt"]["diameter"], abs=1e-6
+        )

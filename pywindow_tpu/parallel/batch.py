@@ -177,18 +177,19 @@ def dispatch_batch(
     fn = _compiled_batch_analysis(
         n_win, n_avg, l1, l2, cfg, mesh_key=mesh_key if shard else None
     )
-    return (fn(mols), b, cfg)
+    return (fn(mols), b, cfg, reference_max_diameter)
 
 
 def collect_batch(handle) -> list[dict]:
     """Fetch a dispatched batch and convert to properties dicts.
 
     The handle carries the config the batch was dispatched with, so the
-    packed layout is always unpacked with the right window count.
+    packed layout is always unpacked with the right window count (and
+    the sampling pin the dispatch resolved, for escalation retries).
     """
     from pywindow_tpu.profiling import METRICS
 
-    flat_dev, b, cfg = handle
+    flat_dev, b, cfg, _ref = handle
     flat = np.asarray(flat_dev)  # ONE device->host transfer
     results = [
         to_properties_dict(unpack_results(flat[i], cfg.max_windows))
@@ -274,11 +275,14 @@ def analyze_batch(
             pad_batch_to=pad_batch_to,
         )
         results = collect_batch(handle)
+    # the retry reuses the sampling pin dispatch_batch resolved (not the
+    # possibly-None caller value): the escalated subset must keep the
+    # same sampling-point count as the rest of its sweep
     return retry_saturated_windows(
         systems,
         results,
         cfg,
-        reference_max_diameter=reference_max_diameter,
+        reference_max_diameter=handle[3],
         shard=shard,
         pad_atoms=pad_atoms,
         mesh_key=mesh_key,

@@ -333,19 +333,22 @@ class Trajectory:
                     systems.append(system)
             return jobs, systems
 
-        def store(chunk, jobs, systems, results):
+        def store(chunk, jobs, systems, results, resolved_ref):
             from pywindow_tpu.config import DEFAULT_CONFIG
             from pywindow_tpu.parallel.batch import (
                 retry_saturated_windows,
             )
 
             # molecules whose window clusters saturated the slot cap
-            # re-run with an escalated cap before anything is recorded
+            # re-run with an escalated cap before anything is recorded.
+            # The retry reuses the sampling pin the original dispatch
+            # resolved, so the escalated subset keeps the sweep's
+            # sampling-point count.
             results = retry_saturated_windows(
                 systems,
                 results,
                 DEFAULT_CONFIG,
-                reference_max_diameter=reference_max_diameter,
+                reference_max_diameter=resolved_ref,
             )
             for idx, ((frame, key), props) in enumerate(
                 zip(jobs, results)
@@ -369,7 +372,8 @@ class Trajectory:
             sub-dispatches.  Sampling sizes are pinned across buckets
             (results must not depend on bucket composition; the extra
             per-bucket path-length headroom is result-neutral — masked
-            static steps).  Returns (handles, dispatch-order indices).
+            static steps).  Returns (handles, dispatch-order indices,
+            resolved sampling pin).
             """
             from pywindow_tpu.config import pad_multiple
             from pywindow_tpu.ops.analysis import max_dim_bound
@@ -383,7 +387,12 @@ class Trajectory:
             pads = [round_up(max(len(e), 1), pad) for e, _ in systems]
             bounds = [max_dim_bound(e, c) for e, c in systems]
             ref = reference_max_diameter
-            if ref is None and len(set(pads)) > 1:
+            if ref is None:
+                # pin the sampling size across every bucket AND every
+                # HBM sub-dispatch: without a pin each sub-dispatch
+                # derives its own reference diameter and the
+                # sampling-point count can flip at a log10 boundary
+                # between chunks (results would depend on batch_size)
                 ref = _largest_exact_maxd(systems, bounds)
 
             handles = []
@@ -410,7 +419,7 @@ class Trajectory:
                         )
                     )
                     order.extend(part)
-            return handles, order
+            return handles, order, ref
 
         def collect_all(handles_order):
             handles, order = handles_order
@@ -448,7 +457,7 @@ class Trajectory:
         gc_was_enabled = gc.isenabled()
         gc.disable()
         try:
-            pending = None  # (chunk, jobs, systems, handle)
+            pending = None  # (chunk, jobs, systems, handles, ref)
             for chunk in chunks:
                 jobs, systems = prepare(chunk)
                 if not systems:
@@ -456,20 +465,30 @@ class Trajectory:
                     for frame in chunk:
                         self.analysis_output.setdefault(frame, {})
                     continue
-                handles = dispatch_all(systems)
+                handles, order, ref = dispatch_all(systems)
                 if pending is not None:
-                    p_chunk, p_jobs, p_systems, p_handles = pending
+                    p_chunk, p_jobs, p_systems, p_handles, p_ref = pending
                     store(
-                        p_chunk, p_jobs, p_systems, collect_all(p_handles)
+                        p_chunk,
+                        p_jobs,
+                        p_systems,
+                        collect_all(p_handles),
+                        p_ref,
                     )
                     collected += 1
                     checkpoint()
                     if collected % 20 == 0:
                         gc.collect()
-                pending = (chunk, jobs, systems, handles)
+                pending = (chunk, jobs, systems, (handles, order), ref)
             if pending is not None:
-                p_chunk, p_jobs, p_systems, p_handles = pending
-                store(p_chunk, p_jobs, p_systems, collect_all(p_handles))
+                p_chunk, p_jobs, p_systems, p_handles, p_ref = pending
+                store(
+                    p_chunk,
+                    p_jobs,
+                    p_systems,
+                    collect_all(p_handles),
+                    p_ref,
+                )
                 collected += 1
                 checkpoint(final=True)
         finally:

@@ -36,7 +36,8 @@ REPO = pathlib.Path(__file__).parent
 HISTORY = REPO / "tests" / "data" / "HISTORY_singlemol_short"
 BATCH = 1440  # fits since the Pallas ray-sweep fusion (round 2)
 STEADY_REPS = 3
-REF_FRAMES = 5
+REF_FRAMES = 20
+E2E_FRAMES = 10000
 
 
 def _decode_frames():
@@ -91,6 +92,58 @@ def measure_tpu(systems) -> float:
     return BATCH / dt
 
 
+def synth_history(n_frames: int) -> pathlib.Path:
+    """Synthesize an n-frame HISTORY by cycling the 20-frame fixture
+    (monotone timesteps rewritten)."""
+    out = pathlib.Path("/tmp") / f"HISTORY_bench_{n_frames}"
+    if out.exists():
+        return out
+    lines = HISTORY.read_text().split("\n")
+    starts = [i for i, ln in enumerate(lines) if ln.startswith("timestep")]
+    header = "\n".join(lines[: starts[0]]) + "\n"
+    frames = []
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else len(lines)
+        frames.append("\n".join(lines[s:e]).rstrip("\n") + "\n")
+    tmp = out.with_suffix(".part")
+    with tmp.open("w") as fh:
+        fh.write(header)
+        ts = 0
+        for k in range(n_frames):
+            fr = frames[k % len(frames)]
+            head, _, body = fr.partition("\n")
+            parts = head.split()
+            parts[1] = str(ts)
+            ts += 25
+            fh.write(" ".join(parts) + "\n" + body)
+    tmp.replace(out)
+    return out
+
+
+def measure_e2e(n_frames: int = E2E_FRAMES) -> float:
+    """Honest end-to-end frames/sec: file on disk -> properties dicts.
+
+    Times EVERYTHING the kernel number omits: the trajectory map +
+    integrity check, whole-sweep native decode (threaded C++),
+    swap/decipher, host batch assembly, device dispatch/fetch and
+    result conversion, via the public ``DLPOLY.analysis_batched`` API
+    on a synthesized 10k-frame CC3 trajectory.
+    """
+    import pywindow_tpu as pw
+
+    path = synth_history(n_frames)
+    t0 = time.perf_counter()
+    traj = pw.DLPOLY(path)
+    traj.analysis_batched(
+        swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=BATCH
+    )
+    dt = time.perf_counter() - t0
+    assert len(traj.analysis_output) == n_frames
+    d = traj.analysis_output[0]["0"]
+    assert abs(d["pore_diameter"]["diameter"] - 5.0) < 2.0
+    return n_frames / dt
+
+
 def measure_reference(systems) -> float:
     """Reference pywindow frames/sec (serial CPU), rdkit stubbed."""
     import logging
@@ -125,8 +178,16 @@ def measure_reference(systems) -> float:
         mol.full_analysis()
         per_frame.append(time.perf_counter() - t0)
     # median per-frame time: robust to a one-off GC pause inflating the
-    # recorded speedup (or a warm cache deflating it)
+    # recorded speedup (or a warm cache deflating it).  The full
+    # distribution is recorded in the bench JSON (extra.ref_seconds_*).
     med = float(np.median(per_frame))
+    measure_reference.distribution = {
+        "ref_frames_timed": len(per_frame),
+        "ref_seconds_median": round(med, 4),
+        "ref_seconds_min": round(float(np.min(per_frame)), 4),
+        "ref_seconds_max": round(float(np.max(per_frame)), 4),
+        "ref_seconds_mean": round(float(np.mean(per_frame)), 4),
+    }
     return 1.0 / med
 
 
@@ -149,15 +210,25 @@ def main() -> None:
     accuracy_gate()
     systems = _decode_frames()
     tpu_fps = measure_tpu(systems)
+    e2e_fps = measure_e2e()
     ref_fps = measure_reference(systems)
-    vs = tpu_fps / ref_fps if ref_fps == ref_fps else None
+    vs = e2e_fps / ref_fps if ref_fps == ref_fps else None
+    extra = {
+        "kernel_fps": round(tpu_fps, 3),
+        "e2e_10k_frames_fps": round(e2e_fps, 3),
+        "e2e_over_kernel": round(e2e_fps / tpu_fps, 3),
+        **getattr(measure_reference, "distribution", {}),
+    }
+    # headline value = the honest end-to-end rate (file -> results);
+    # the kernel-only rate is recorded alongside in extra
     print(
         json.dumps(
             {
                 "metric": "cc3_full_analysis_throughput",
-                "value": round(tpu_fps, 3),
+                "value": round(e2e_fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "extra": extra,
             }
         )
     )

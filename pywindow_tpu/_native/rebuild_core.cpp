@@ -29,6 +29,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <atomic>
+#include <thread>
 #include <vector>
 #include <unordered_set>
 
@@ -353,6 +355,251 @@ long pw_decode_pdb_frame(
         if (pos < len) ++pos;  // consume newline
     }
     return atom;
+}
+
+// ---------------------------------------------------------------------------
+// Trajectory sweep fast path: one-pass HISTORY map/integrity-check and
+// multithreaded whole-sweep frame decoding.  These feed the device
+// batch pipeline directly (trajectory.analysis_batched), replacing the
+// per-frame Python decode that dominated end-to-end sweep time.
+// Semantics mirror the Python implementations in
+// pywindow_tpu/trajectory.py (themselves mirroring reference
+// trajectory.py:647-833); the Python paths remain as fallbacks.
+
+// Map a DL_POLY HISTORY buffer: frame byte ranges, header end, header
+// warnings, and the reference's integrity checks (empty lines,
+// monotone timesteps — reference: trajectory.py:768-833).
+// Returns n_frames, or -1 empty line (err_line set), -2 discontinuous
+// trajectory (err_line set), -3 capacity exceeded.
+// warn_flags: bit0 = line 1 lacks the DLFIELD comment header,
+//             bit1 = line 2 is not the 3-field periodicity header.
+long pw_map_history(
+    const char* text, long len,
+    int64_t* starts, int64_t* ends, long cap,
+    int64_t* header_end, int64_t* warn_flags, int64_t* err_line) {
+    *warn_flags = 0;
+    *err_line = 0;
+    *header_end = 0;
+    long pos = 0;
+    long line_no = 0;
+    long n_frames = 0;
+    long frame_start = 0;
+    bool header_done = false;
+    long long prev_ts = 0;
+    while (pos < len) {
+        long line_start = pos;
+        const char* nl = static_cast<const char*>(
+            std::memchr(text + pos, '\n', static_cast<size_t>(len - pos)));
+        long line_end = nl ? (nl - text) : len;
+        ++line_no;
+        // first token
+        long t = line_start;
+        while (t < line_end &&
+               (text[t] == ' ' || text[t] == '\t' || text[t] == '\r'))
+            ++t;
+        if (t == line_end) {  // empty line -> hard error
+            *err_line = line_no;
+            return -1;
+        }
+        long te = t;
+        while (te < line_end && text[te] != ' ' && text[te] != '\t' &&
+               text[te] != '\r')
+            ++te;
+        if (line_no == 1) {
+            if (te - t != 7 || std::strncmp(text + t, "DLFIELD", 7) != 0)
+                *warn_flags |= 1;
+        } else if (line_no == 2) {
+            // count whitespace-separated fields
+            long fields = 0;
+            long q = line_start;
+            while (q < line_end) {
+                while (q < line_end &&
+                       (text[q] == ' ' || text[q] == '\t' ||
+                        text[q] == '\r'))
+                    ++q;
+                if (q == line_end) break;
+                ++fields;
+                while (q < line_end && text[q] != ' ' &&
+                       text[q] != '\t' && text[q] != '\r')
+                    ++q;
+            }
+            if (fields != 3) *warn_flags |= 2;
+        }
+        if (te - t == 8 && std::strncmp(text + t, "timestep", 8) == 0) {
+            char* end = nullptr;
+            long long ts = std::strtoll(text + te, &end, 10);
+            if (end != text + te) {
+                if (prev_ts > ts) {
+                    *err_line = line_no;
+                    return -2;
+                }
+                prev_ts = ts;
+            }
+            if (header_done) {
+                if (n_frames >= cap) return -3;
+                starts[n_frames] = frame_start;
+                ends[n_frames] = line_start;
+                ++n_frames;
+            } else {
+                *header_end = line_start;
+                header_done = true;
+            }
+            frame_start = line_start;
+        }
+        pos = nl ? (line_end + 1) : len;
+    }
+    if (header_done) {
+        if (n_frames >= cap) return -3;
+        starts[n_frames] = frame_start;
+        ends[n_frames] = len;
+        ++n_frames;
+    }
+    return n_frames;
+}
+
+}  // extern "C"
+
+namespace {
+
+// vdW-corrected maximum diameter of one frame, bitwise-matching the
+// host numpy scan in ops/analysis.py::max_dim_host: per pair (i, j)
+// the value is ((sqrt((dx*dx+dy*dy)+dz*dz) + vdw_i) + vdw_j); numpy
+// maxes over the FULL matrix (both orderings of each pair), so both
+// are evaluated here too (ulp-level addition-order differences).
+double frame_max_dim(const double* xyz, const double* vdw, long n) {
+    double best = 0.0;
+    for (long i = 0; i < n; ++i) {
+        const double* a = xyz + 3 * i;
+        const double vi = vdw[i];
+        for (long j = 0; j < n; ++j) {
+            const double d = (dist3(a, xyz + 3 * j) + vi) + vdw[j];
+            if (d > best) best = d;
+        }
+    }
+    return best;
+}
+
+// Generic multithreaded batch decode driver.  DecodeFn decodes one
+// frame into (ids_scratch, xyz_out) and returns the atom count (or -1).
+template <typename DecodeFn>
+long batch_decode(
+    const char* text, const int64_t* starts, const int64_t* ends,
+    long n_frames, long n_atoms, const char* ref_ids, double* xyz,
+    const double* vdw, double* maxd, long n_threads,
+    int64_t* ids_match, DecodeFn decode_one) {
+    std::atomic<long> first_fail(-1);
+    std::atomic<bool> all_ids_match(true);
+    if (n_threads < 1) n_threads = 1;
+    long hw = static_cast<long>(std::thread::hardware_concurrency());
+    if (hw > 0 && n_threads > hw) n_threads = hw;
+    if (n_threads > n_frames) n_threads = n_frames;
+    if (n_threads < 1) n_threads = 1;
+
+    auto worker = [&](long lo, long hi) {
+        std::vector<char> ids(static_cast<size_t>(n_atoms) * 9);
+        bool local_match = true;
+        for (long i = lo; i < hi; ++i) {
+            if (first_fail.load(std::memory_order_relaxed) >= 0) return;
+            double* frame_xyz = xyz + static_cast<size_t>(i) * n_atoms * 3;
+            long got = decode_one(
+                text + starts[i], ends[i] - starts[i], ids.data(),
+                frame_xyz);
+            if (got != n_atoms) {
+                long expected = -1;
+                first_fail.compare_exchange_strong(expected, i);
+                return;
+            }
+            if (local_match &&
+                std::memcmp(ids.data(), ref_ids,
+                            static_cast<size_t>(n_atoms) * 9) != 0)
+                local_match = false;
+            if (vdw != nullptr && maxd != nullptr)
+                maxd[i] = frame_max_dim(frame_xyz, vdw, n_atoms);
+        }
+        if (!local_match) all_ids_match.store(false);
+    };
+
+    if (n_threads == 1) {
+        worker(0, n_frames);
+    } else {
+        std::vector<std::thread> pool;
+        long per = (n_frames + n_threads - 1) / n_threads;
+        for (long k = 0; k < n_threads; ++k) {
+            long lo = k * per;
+            long hi = lo + per < n_frames ? lo + per : n_frames;
+            if (lo >= hi) break;
+            pool.emplace_back(worker, lo, hi);
+        }
+        for (auto& th : pool) th.join();
+    }
+    *ids_match = all_ids_match.load() ? 1 : 0;
+    long fail = first_fail.load();
+    return fail >= 0 ? -(fail + 1) : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode every frame of a DL_POLY sweep into one (F, N, 3) block.
+// ref_ids: frame-0 atom ids (n_atoms * 9, from pw_decode_dlpoly_frame);
+// *ids_match reports whether every frame's ids equal ref_ids (the fast
+// path precondition for sharing one deciphered element array).
+// When vdw (n_atoms, post-decipher radii) and maxd (n_frames) are
+// non-null, each frame's exact vdW-corrected maximum diameter is also
+// computed (f64, bitwise equal to the host numpy scan) — it pins the
+// sweep's sampling sizes without a second pass.
+// Returns 0, or -(i+1) if frame i failed to parse / had a different
+// atom count.  Runs on n_threads std::threads (the ctypes call site
+// releases the GIL, so decode overlaps Python and device work).
+long pw_decode_dlpoly_frames_batch(
+    const char* text, const int64_t* starts, const int64_t* ends,
+    long n_frames, long keytrj, long has_cell, long n_atoms,
+    const char* ref_ids, double* xyz, const double* vdw, double* maxd,
+    long n_threads, int64_t* ids_match) {
+    return batch_decode(
+        text, starts, ends, n_frames, n_atoms, ref_ids, xyz, vdw, maxd,
+        n_threads, ids_match,
+        [keytrj, has_cell, n_atoms](const char* t, long l, char* ids,
+                                    double* out) {
+            double cell[9];
+            return pw_decode_dlpoly_frame(
+                t, l, keytrj, has_cell, cell, ids, out, nullptr, nullptr,
+                n_atoms);
+        });
+}
+
+// XYZ-trajectory analog of pw_decode_dlpoly_frames_batch.
+long pw_decode_xyz_frames_batch(
+    const char* text, const int64_t* starts, const int64_t* ends,
+    long n_frames, long n_atoms, const char* ref_ids, double* xyz,
+    const double* vdw, double* maxd, long n_threads,
+    int64_t* ids_match) {
+    return batch_decode(
+        text, starts, ends, n_frames, n_atoms, ref_ids, xyz, vdw, maxd,
+        n_threads, ids_match,
+        [n_atoms](const char* t, long l, char* ids, double* out) {
+            return pw_decode_xyz_frame(t, l, ids, out, n_atoms);
+        });
+}
+
+// PDB-trajectory analog of pw_decode_dlpoly_frames_batch (per-frame
+// CRYST1 records are ignored: the fast sweep path analyses molecules,
+// not periodic cells — frames needing rebuild use the generic path).
+long pw_decode_pdb_frames_batch(
+    const char* text, const int64_t* starts, const int64_t* ends,
+    long n_frames, long n_atoms, const char* ref_ids, double* xyz,
+    const double* vdw, double* maxd, long n_threads,
+    int64_t* ids_match) {
+    return batch_decode(
+        text, starts, ends, n_frames, n_atoms, ref_ids, xyz, vdw, maxd,
+        n_threads, ids_match,
+        [n_atoms](const char* t, long l, char* ids, double* out) {
+            double cryst[6];
+            long has_cryst = 0;
+            return pw_decode_pdb_frame(t, l, ids, out, cryst,
+                                       &has_cryst, n_atoms);
+        });
 }
 
 }  // extern "C"

@@ -54,7 +54,7 @@ def _build() -> bool:
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-ffp-contract=off", "-fno-fast-math",
+                "-ffp-contract=off", "-fno-fast-math", "-pthread",
                 "-o", tmp, str(_NATIVE_DIR / "rebuild_core.cpp"),
             ],
             check=True,
@@ -112,6 +112,28 @@ def lib() -> ctypes.CDLL | None:
     L.pw_decode_pdb_frame.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, c_d, c_d,
         ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+    ]
+    c_vp = ctypes.c_void_p
+    L.pw_map_history.restype = ctypes.c_long
+    L.pw_map_history.argtypes = [
+        c_vp, ctypes.c_long, c_i64, c_i64, ctypes.c_long,
+        c_i64, c_i64, c_i64,
+    ]
+    L.pw_decode_dlpoly_frames_batch.restype = ctypes.c_long
+    L.pw_decode_dlpoly_frames_batch.argtypes = [
+        c_vp, c_i64, c_i64, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_char_p, c_d, c_d, c_d,
+        ctypes.c_long, c_i64,
+    ]
+    L.pw_decode_xyz_frames_batch.restype = ctypes.c_long
+    L.pw_decode_xyz_frames_batch.argtypes = [
+        c_vp, c_i64, c_i64, ctypes.c_long, ctypes.c_long,
+        ctypes.c_char_p, c_d, c_d, c_d, ctypes.c_long, c_i64,
+    ]
+    L.pw_decode_pdb_frames_batch.restype = ctypes.c_long
+    L.pw_decode_pdb_frames_batch.argtypes = [
+        c_vp, c_i64, c_i64, ctypes.c_long, ctypes.c_long,
+        ctypes.c_char_p, c_d, c_d, c_d, ctypes.c_long, c_i64,
     ]
     _LIB = L
     return _LIB
@@ -260,6 +282,142 @@ def decode_xyz_frame(
         return None
     id_arr = np.frombuffer(ids.raw, dtype="S9", count=got).astype("<U8")
     return id_arr, xyz[:got].copy()
+
+
+def map_history(buf: np.ndarray, cap_frames: int):
+    """One-pass HISTORY map + integrity check (native).
+
+    ``buf`` is a uint8 view of the file bytes (e.g. ``np.frombuffer``
+    over an mmap — zero copy).  Returns ``(starts, ends, header_end,
+    warn_flags)`` int64 arrays/ints, or None when the native library is
+    unavailable.  Raises ValueError mirroring the reference's integrity
+    errors (reference: trajectory.py:768-833): the caller converts to
+    TrajectoryError with the exact message format.
+    """
+    L = lib()
+    if L is None:
+        return None
+    cap = max(cap_frames, 1)
+    starts = np.empty(cap, dtype=np.int64)
+    ends = np.empty(cap, dtype=np.int64)
+    header_end = np.zeros(1, dtype=np.int64)
+    warn_flags = np.zeros(1, dtype=np.int64)
+    err_line = np.zeros(1, dtype=np.int64)
+    got = L.pw_map_history(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        len(buf),
+        _ptr(starts, ctypes.c_int64),
+        _ptr(ends, ctypes.c_int64),
+        cap,
+        _ptr(header_end, ctypes.c_int64),
+        _ptr(warn_flags, ctypes.c_int64),
+        _ptr(err_line, ctypes.c_int64),
+    )
+    if got == -1:
+        msg = f"empty:{int(err_line[0])}"
+        raise ValueError(msg)
+    if got == -2:
+        msg = f"discontinuous:{int(err_line[0])}"
+        raise ValueError(msg)
+    if got < 0:  # capacity exceeded — caller's count was wrong
+        return None
+    return (
+        starts[:got].copy(),
+        ends[:got].copy(),
+        int(header_end[0]),
+        int(warn_flags[0]),
+    )
+
+
+def _decode_frames_batch(fn_name, buf, starts, ends, n_atoms, ref_ids,
+                         vdw=None, extra=(), n_threads=None):
+    L = lib()
+    if L is None:
+        return None
+    import os
+
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    f = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    xyz = np.empty((f, n_atoms, 3), dtype=np.float64)
+    ids_match = np.zeros(1, dtype=np.int64)
+    null_d = ctypes.cast(None, ctypes.POINTER(ctypes.c_double))
+    maxd = None
+    if vdw is not None:
+        vdw = np.ascontiguousarray(vdw, dtype=np.float64)
+        maxd = np.empty(f, dtype=np.float64)
+    got = getattr(L, fn_name)(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        _ptr(starts, ctypes.c_int64),
+        _ptr(ends, ctypes.c_int64),
+        f,
+        *extra,
+        n_atoms,
+        ref_ids,
+        _ptr(xyz, ctypes.c_double),
+        _ptr(vdw, ctypes.c_double) if vdw is not None else null_d,
+        _ptr(maxd, ctypes.c_double) if maxd is not None else null_d,
+        n_threads,
+        _ptr(ids_match, ctypes.c_int64),
+    )
+    if got < 0:
+        return None
+    return xyz, bool(ids_match[0]), maxd
+
+
+def decode_dlpoly_frames_batch(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    keytrj: int,
+    has_cell: bool,
+    n_atoms: int,
+    ref_ids: bytes,
+    vdw: np.ndarray | None = None,
+    n_threads: int | None = None,
+):
+    """Threaded whole-sweep HISTORY decode
+    -> ((F, N, 3) f64, ids_match, per-frame maxd or None).
+
+    ``ref_ids`` is frame 0's atom-id block (``ids.astype('S9').tobytes()``);
+    ``ids_match`` is True when every frame's ids equal it — the
+    precondition for sharing one deciphered element array across the
+    sweep.  With ``vdw`` (per-atom radii) the exact vdW-corrected
+    maximum diameter per frame is computed too (bitwise equal to
+    ``max_dim_host``).  Returns None on parse failure / unavailable
+    library (the caller falls back to the per-frame Python path).  The
+    ctypes call releases the GIL, so the decode overlaps device compute.
+    """
+    return _decode_frames_batch(
+        "pw_decode_dlpoly_frames_batch", buf, starts, ends, n_atoms,
+        ref_ids, vdw=vdw, extra=(int(keytrj), int(bool(has_cell))),
+        n_threads=n_threads,
+    )
+
+
+def decode_xyz_frames_batch(
+    buf, starts, ends, n_atoms, ref_ids, vdw=None, n_threads=None
+):
+    """Threaded whole-sweep XYZ-trajectory decode; see
+    :func:`decode_dlpoly_frames_batch`."""
+    return _decode_frames_batch(
+        "pw_decode_xyz_frames_batch", buf, starts, ends, n_atoms,
+        ref_ids, vdw=vdw, n_threads=n_threads,
+    )
+
+
+def decode_pdb_frames_batch(
+    buf, starts, ends, n_atoms, ref_ids, vdw=None, n_threads=None
+):
+    """Threaded whole-sweep PDB-trajectory decode; see
+    :func:`decode_dlpoly_frames_batch`.  Per-frame CRYST1 cells are
+    ignored (the fast sweep path never rebuilds)."""
+    return _decode_frames_batch(
+        "pw_decode_pdb_frames_batch", buf, starts, ends, n_atoms,
+        ref_ids, vdw=vdw, n_threads=n_threads,
+    )
 
 
 def decode_pdb_frame(

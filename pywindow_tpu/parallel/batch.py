@@ -289,6 +289,130 @@ def analyze_batch(
     )
 
 
+def sweep_uniform(
+    elements: np.ndarray,
+    coords: np.ndarray,
+    maxd_per_frame: np.ndarray,
+    on_batch,
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    batch_size: int = 64,
+    reference_max_diameter: float | None = None,
+    exact_sizes: bool = False,
+) -> None:
+    """Full-analysis sweep over frames sharing ONE element list.
+
+    The whole-sweep fast path behind ``Trajectory.analysis_batched``:
+    ``coords`` is (F, N, 3) float64 (e.g. from the native batch
+    decoder), ``maxd_per_frame`` the exact per-frame vdW-corrected
+    maximum diameters (pins the sampling sizes without a second decode
+    pass).  Because every frame shares the element list, the per-atom
+    mass/vdW/covalent/mask arrays are transferred to the device ONCE and
+    reused by every chunk; only the (B, N, 3) coordinates move per
+    chunk.  Chunks are pipelined one deep (dispatch chunk k+1 while
+    chunk k is fetched), and ``on_batch(frame_positions, results)`` is
+    invoked as each chunk completes.
+
+    ``exact_sizes``: bucket frames by their exact per-frame sampling
+    sizes (same key as the generic pre-scan path) so results match the
+    serial per-frame path bit-for-bit at log10 boundaries.
+    """
+    from pywindow_tpu.config import default_dtype, pad_multiple
+    from pywindow_tpu.ops.encoding import (
+        FAR_AWAY,
+        _encode_host,
+        round_up,
+    )
+
+    f_total, n, _ = coords.shape
+    if f_total == 0:
+        return
+    dtype = np.dtype(default_dtype())
+    n_pad = round_up(max(n, 1), pad_multiple())
+
+    if exact_sizes:
+        buckets: dict = {}
+        for i in range(f_total):
+            n_win, n_avg, _, _ = static_sizes(
+                float(maxd_per_frame[i]), cfg
+            )
+            entry = buckets.setdefault((n_win, n_avg), ([], 0.0))
+            buckets[(n_win, n_avg)] = (
+                entry[0] + [i],
+                max(entry[1], float(maxd_per_frame[i])),
+            )
+        groups = [
+            (np.asarray(idxs, dtype=np.int64), ref)
+            for idxs, ref in buckets.values()
+        ]
+    else:
+        ref = (
+            float(reference_max_diameter)
+            if reference_max_diameter is not None
+            else float(np.max(maxd_per_frame))
+        )
+        groups = [(np.arange(f_total, dtype=np.int64), ref)]
+
+    # constant per-atom fields: one host encode, one device transfer,
+    # reused by every chunk of every group
+    _, mass, vdw, cov, mask = _encode_host(
+        elements, np.zeros((n, 3)), n_pad, dtype
+    )
+
+    n_dev = len(jax.devices())
+    shard = n_dev > 1
+
+    for idxs, ref in groups:
+        n_win, n_avg, l1, l2 = static_sizes(ref, cfg)
+        # path lengths must cover the group's LARGEST member even when
+        # the sampling pin is smaller (e.g. a caller-pinned reference):
+        # sizing from the pin alone silently truncates ray paths.
+        _, _, l1_b, l2_b = static_sizes(
+            float(np.max(maxd_per_frame[idxs])), cfg
+        )
+        l1, l2 = max(l1, l1_b), max(l2, l2_b)
+        c = max(1, min(int(batch_size), max_safe_batch(n_pad, ref, cfg)))
+        if shard:
+            c = pad_batch_to_devices(c, n_dev)
+        fields_dev = tuple(
+            jnp.asarray(np.broadcast_to(row, (c, n_pad)))
+            for row in (mass, vdw, cov, mask)
+        )
+        fn = _compiled_batch_analysis(
+            n_win, n_avg, l1, l2, cfg,
+            mesh_key="frames" if shard else None,
+        )
+
+        def dispatch(part):
+            chunk = np.full((c, n_pad, 3), FAR_AWAY, dtype=dtype)
+            chunk[: len(part), :n] = coords[part]
+            # padding slots replay the chunk's first frame (results
+            # sliced off on collect) so every chunk runs ONE shape
+            if len(part) < c:
+                chunk[len(part) :, :n] = coords[part[0]]
+            mols = MolArrays(jnp.asarray(chunk), *fields_dev)
+            return (fn(mols), len(part), cfg, ref)
+
+        def finish(part, handle):
+            results = collect_batch(handle)
+            results = retry_saturated_windows(
+                [(elements, coords[i]) for i in part],
+                results,
+                cfg,
+                reference_max_diameter=ref,
+            )
+            on_batch(part, results)
+
+        pending = None
+        for lo in range(0, len(idxs), c):
+            part = idxs[lo : lo + c]
+            handle = dispatch(part)
+            if pending is not None:
+                finish(*pending)
+            pending = (part, handle)
+        if pending is not None:
+            finish(*pending)
+
+
 def retry_saturated_windows(
     systems,
     results: list[dict],

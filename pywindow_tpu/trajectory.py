@@ -76,6 +76,10 @@ class Trajectory:
         frame = [ln.split() for ln in raw.split("\n")][:-1]
         return self._decode_frame(frame)
 
+    def _raw_frame_dict(self, frame_no: int) -> dict:
+        """One frame's raw decoded dict (no MolecularSystem wrapping)."""
+        return self._decode_raw(self._frame_slice(frame_no).decode("utf-8"))
+
     def _frame_slice(self, frame_no: int) -> bytes:
         start, end = self.trajectory_map[frame_no]
         with (
@@ -160,6 +164,138 @@ class Trajectory:
                     extract_data=extract_data,
                 )
         return collected
+
+    # -- native whole-sweep decode (fast path) ---------------------------
+
+    #: coordinate-block budget for the whole-sweep decode (bytes of
+    #: (F, N, 3) float64); sweeps above it use the generic chunked path.
+    _SWEEP_DECODE_BUDGET = 2 * 1024**3
+
+    def _sweep_decode_native(self, frames, swap_atoms, forcefield):
+        """Whole-sweep native decode hook; None = use the generic path.
+
+        Format subclasses return ``(elements, coords (F, N, 3) f64,
+        per-frame max diameters)`` via :meth:`_sweep_decode_common`.
+        """
+        del frames, swap_atoms, forcefield
+        return None
+
+    def _sweep_decode_common(self, frames, swap_atoms, forcefield, batch_fn):
+        """Shared fast-path decode: one representative frame through the
+        exact per-frame swap/decipher semantics, then every frame's
+        coordinates in one threaded native call.
+
+        ``batch_fn(buf, starts, ends, n_atoms, ref_ids, vdw)`` wraps the
+        format's native batch decoder.  Returns None (fall back to the
+        generic path) when the native library is unavailable, atom ids
+        vary across frames, any frame fails to parse, or the coordinate
+        block would exceed the memory budget.
+        """
+        from pywindow_tpu import native, tables
+
+        if native.lib() is None:
+            return None
+        d0 = self._raw_frame_dict(frames[0])
+        ids_key = "atom_ids" if "atom_ids" in d0 else "elements"
+        ids0 = np.asarray(d0[ids_key], dtype="<U8")
+        n_atoms = len(ids0)
+        if n_atoms == 0:
+            return None
+        if len(frames) * n_atoms * 24 > self._SWEEP_DECODE_BUDGET:
+            return None
+        # swap/decipher exactly as the per-frame path would (same
+        # MolecularSystem methods, and the same exception if elements
+        # cannot be derived)
+        molsys = MolecularSystem.load_system(
+            {ids_key: ids0.copy(), "coordinates": np.zeros((n_atoms, 3))},
+            "_".join([self.system_id, "sweep"]),
+        )
+        if swap_atoms is not None:
+            molsys.swap_atom_keys(swap_atoms)
+        if forcefield is not None:
+            molsys.decipher_atom_keys(forcefield)
+        elements = np.asarray(molsys.system_to_molecule().elements)
+        vdw = tables.ELEMENT_VDW[tables.element_ids(elements)].astype(
+            np.float64
+        )
+        ref_ids = ids0.astype("S9").tobytes()
+        starts = np.array(
+            [self.trajectory_map[f][0] for f in frames], dtype=np.int64
+        )
+        ends = np.array(
+            [self.trajectory_map[f][1] for f in frames], dtype=np.int64
+        )
+        with self.filepath.open() as fh:
+            mapped = mmap(fh.fileno(), 0, access=ACCESS_READ)
+            try:
+                buf = np.frombuffer(mapped, dtype=np.uint8)
+                try:
+                    got = batch_fn(buf, starts, ends, n_atoms, ref_ids, vdw)
+                finally:
+                    del buf  # release the buffer export before close
+            finally:
+                mapped.close()
+        if got is None:
+            return None
+        xyz, ids_match, maxd = got
+        if not ids_match:
+            return None
+        return elements, xyz, maxd
+
+    def _analysis_batched_fast(
+        self,
+        todo,
+        decoded,
+        batch_size,
+        reference_max_diameter,
+        autosave,
+        autosave_every,
+        exact_sizes,
+    ) -> None:
+        """Device sweep over natively decoded frames (uniform elements)."""
+        import gc
+
+        from pywindow_tpu.parallel.batch import sweep_uniform
+
+        elements, coords, maxd = decoded
+        n_atoms = len(elements)
+        state = {"collected": 0}
+
+        def on_batch(part, results):
+            for pos, props in zip(part, results):
+                props = dict(props)
+                props.pop("molecular_weight", None)
+                props["no_of_atoms"] = n_atoms
+                self.analysis_output.setdefault(todo[int(pos)], {})[
+                    "0"
+                ] = props
+            state["collected"] += 1
+            if autosave is not None and (
+                state["collected"] % max(autosave_every, 1) == 0
+            ):
+                self.save_analysis(autosave, override=True)
+            if state["collected"] % 20 == 0:
+                gc.collect()
+
+        # the cyclic GC is pathological on long sweeps (see
+        # analysis_batched); same suspend + bounded manual collect here
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            sweep_uniform(
+                elements,
+                coords,
+                maxd,
+                on_batch,
+                batch_size=batch_size,
+                reference_max_diameter=reference_max_diameter,
+                exact_sizes=exact_sizes,
+            )
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+        if autosave is not None:
+            self.save_analysis(autosave, override=True)
 
     # -- analysis ---------------------------------------------------------
 
@@ -247,6 +383,25 @@ class Trajectory:
                 self.analysis_output.pop(f, None)
         if not todo:
             return
+
+        if not modular and _frame_cache is None:
+            # whole-sweep native fast path: one threaded decode of every
+            # frame (GIL released), constant per-atom fields transferred
+            # once, exact f64 sampling pin from the decoder — falls
+            # through to the generic path when inapplicable (varying
+            # atom ids/counts, huge sweeps, no native library)
+            fast = self._sweep_decode_native(todo, swap_atoms, forcefield)
+            if fast is not None:
+                self._analysis_batched_fast(
+                    todo,
+                    fast,
+                    batch_size=batch_size,
+                    reference_max_diameter=reference_max_diameter,
+                    autosave=autosave,
+                    autosave_every=autosave_every,
+                    exact_sizes=exact_sizes,
+                )
+                return
 
         if exact_sizes:
             # bucket frames by their exact per-frame sampling sizes and
@@ -622,8 +777,82 @@ class DLPOLY(Trajectory):
 
     def __init__(self, filepath: pathlib.Path | str) -> None:
         super().__init__(filepath)
-        self._check_history()
-        self._map_history()
+        if not self._map_history_native():
+            self._check_history()
+            self._map_history()
+
+    def _map_history_native(self) -> bool:
+        """One-pass native map + integrity check (C++ scanner).
+
+        Combines :meth:`_check_history` and :meth:`_map_history` in a
+        single buffer scan; returns False to fall back to the Python
+        pair when the native library is unavailable.
+        """
+        from pywindow_tpu import native
+
+        if native.lib() is None:
+            return False
+        err_msg = None
+        with self.filepath.open() as fh:
+            mapped = mmap(fh.fileno(), 0, access=ACCESS_READ)
+            try:
+                cap = 2
+                pos = mapped.find(b"timestep")
+                while pos != -1:
+                    cap += 1
+                    pos = mapped.find(b"timestep", pos + 8)
+                buf = np.frombuffer(mapped, dtype=np.uint8)
+                try:
+                    try:
+                        got = native.map_history(buf, cap)
+                    except ValueError as exc:
+                        # raise AFTER the mmap closes: an in-flight
+                        # exception's frames would pin the buffer
+                        # export and make close() fail
+                        kind, _, line = str(exc).partition(":")
+                        if kind == "empty":
+                            err_msg = (
+                                f"Line {line}: the file contains an "
+                                "empty line"
+                            )
+                        else:
+                            err_msg = (
+                                f"Line {line}: the trajectory is "
+                                "discontinuous"
+                            )
+                        got = None
+                finally:
+                    del buf  # release the buffer export before close
+                if err_msg is None:
+                    if got is None:
+                        return False
+                    starts, ends, header_end, warn = got
+                    if len(starts) == 0:
+                        # no timestep records at all: let the Python
+                        # path produce its exact error behaviour
+                        return False
+                    self.check_log = ""
+                    if warn & 1:
+                        self.check_log += (
+                            "Line 1: no comment line present as the "
+                            "file header\n"
+                        )
+                    if warn & 2:
+                        self.check_log += (
+                            "Line 2: second header line (periodicity "
+                            "/ trajectory type) is missing\n"
+                        )
+                    self._decode_header(mapped[0:header_end])
+                    self.trajectory_map = {
+                        i: [int(starts[i]), int(ends[i])]
+                        for i in range(len(starts))
+                    }
+                    self.no_of_frames = len(starts)
+            finally:
+                mapped.close()
+        if err_msg is not None:
+            raise TrajectoryError(err_msg)
+        return True
 
     def _map_history(self) -> None:
         """Byte-map every frame (reference: trajectory.py:647-689)."""
@@ -663,6 +892,26 @@ class DLPOLY(Trajectory):
         self.periodic_boundary = self.IMCON[imcon]
         self.content_type = self.KEYTRJ[keytrj]
         self.no_of_atoms = natms
+        self._keytrj = keytrj
+        self._imcon = imcon
+
+    def _sweep_decode_native(self, frames, swap_atoms, forcefield):
+        from pywindow_tpu import native
+
+        keytrj = getattr(self, "_keytrj", None)
+        if keytrj is None or keytrj not in (0, 1, 2):
+            return None
+        has_cell = self._imcon in (1, 2, 3)
+        if not has_cell and self._imcon != 0:
+            return None
+        return self._sweep_decode_common(
+            frames,
+            swap_atoms,
+            forcefield,
+            lambda buf, s, e, n, rid, vdw: native.decode_dlpoly_frames_batch(
+                buf, s, e, keytrj, has_cell, n, rid, vdw=vdw
+            ),
+        )
 
     def _decode_raw(self, raw: str) -> dict:
         """Decode one HISTORY frame, native text parser when available.
@@ -847,6 +1096,18 @@ class XYZ(Trajectory):
         )
         return out
 
+    def _sweep_decode_native(self, frames, swap_atoms, forcefield):
+        from pywindow_tpu import native
+
+        return self._sweep_decode_common(
+            frames,
+            swap_atoms,
+            forcefield,
+            lambda buf, s, e, n, rid, vdw: native.decode_xyz_frames_batch(
+                buf, s, e, n, rid, vdw=vdw
+            ),
+        )
+
 
 class PDB(Trajectory):
     """PDB trajectory, frames separated by END lines
@@ -898,6 +1159,23 @@ class PDB(Trajectory):
         if kw.get("forcefield") is not None:
             molsys.decipher_atom_keys(kw["forcefield"])
         return molsys
+
+    def _raw_frame_dict(self, frame_no: int) -> dict:
+        return self._decode_raw_pdb(
+            self._frame_slice(frame_no).decode("utf-8")
+        )
+
+    def _sweep_decode_native(self, frames, swap_atoms, forcefield):
+        from pywindow_tpu import native
+
+        return self._sweep_decode_common(
+            frames,
+            swap_atoms,
+            forcefield,
+            lambda buf, s, e, n, rid, vdw: native.decode_pdb_frames_batch(
+                buf, s, e, n, rid, vdw=vdw
+            ),
+        )
 
     def _decode_raw_pdb(self, raw: str) -> dict:
         """Native fixed-column decode with python fallback.

@@ -685,9 +685,12 @@ def window_analysis(
 
     Delegates to the fused device refinement
     (:func:`pywindow_tpu.ops.windows._window_refine`), which reproduces
-    the reference's optimiser behaviour; ``elements_vdw`` is accepted
-    for signature compatibility but radii always come from the chemical
-    tables (as the reference's do upstream).  ``coordinates`` must be
+    the reference's optimiser behaviour.  ``elements_vdw`` (per-atom
+    vdW radii) flows into the fine ray re-sampling exactly as in the
+    reference — whose centre optimisation and reported diameter read
+    table radii via ``pore_diameter(elements, ...)``, with the custom
+    radii affecting only the ``vector_analysis`` re-sample (reference:
+    utilities.py:1221-1224 vs :1298-1336).  ``coordinates`` must be
     pore-centred, as in the reference's calling convention.
     """
     import dataclasses
@@ -698,7 +701,7 @@ def window_analysis(
     from pywindow_tpu.ops import rays as _rays
     from pywindow_tpu.ops.windows import _window_refine
 
-    del z_bounds, elements_vdw
+    del z_bounds
     window = np.atleast_2d(np.asarray(window, dtype=np.float64))
     vector = window[window.argmax(axis=0)[1]][5:8]
 
@@ -709,10 +712,19 @@ def window_analysis(
         z_second_mini=bool(z_second_mini),
     )
     mol = _encode(elements, coordinates)
+    mol_resample = mol
+    if elements_vdw is not None:
+        radii = np.asarray(elements_vdw, dtype=np.float64).reshape(-1)
+        if len(radii) != len(np.asarray(elements)):
+            msg = "elements_vdw must hold one radius per atom"
+            raise ValueError(msg)
+        vdw = np.zeros(mol.vdw.shape, dtype=np.asarray(mol.vdw).dtype)
+        vdw[: len(radii)] = radii
+        mol_resample = mol._replace(vdw=jnp.asarray(vdw))
     l2 = int(np.linalg.norm(vector) // increment2) + 2
     l2 = ((l2 + 7) // 8) * 8
     refined = _rays.path_analysis(
-        jnp.asarray(vector)[None, :], mol, cfg.increment2, l2
+        jnp.asarray(vector)[None, :], mol_resample, cfg.increment2, l2
     )
     if not bool(np.asarray(refined.ok)[0]):
         return None

@@ -173,3 +173,43 @@ def test_window_analysis_matches_reference(ref_utils, cc3):
     if got is not None:
         assert got[0] == pytest.approx(want[0], abs=5e-3)
         np.testing.assert_allclose(got[1], want[1], atol=5e-2)
+
+
+def test_window_analysis_honours_custom_vdw(ref_utils, cc3):
+    """Caller-supplied vdW radii flow into the fine ray re-sample, as
+    in the reference (vector_analysis at utilities.py:1221-1224 takes
+    them; the centre optimisation reads table radii) — a custom-radius
+    call must match the reference run with the SAME custom radii, and
+    radii big enough to block the re-sample must yield None in both."""
+    elements, coords, vdw = cc3
+    custom = vdw * 1.08  # inflated radii -> narrower re-sampled path
+    rng = np.random.default_rng(1)
+    rows = []
+    while len(rows) < 5:
+        v = rng.normal(size=3)
+        v = v / np.linalg.norm(v) * 10.0
+        res = ref_utils.vector_preanalysis(v, coords, custom)
+        if res is not None:
+            rows.append(res)
+    window = np.array(rows)
+    got = u.window_analysis(window, elements, coords, custom)
+    want = ref_utils.window_analysis(window, elements, coords, custom)
+    assert (got is None) == (want is None)
+    if got is not None:
+        assert got[0] == pytest.approx(want[0], abs=5e-3)
+        np.testing.assert_allclose(got[1], want[1], atol=5e-2)
+    # radii inflated past the channel width: the re-sampled ray is
+    # blocked, both implementations report the window as None
+    blocked = vdw * 3.0
+    got_b = u.window_analysis(window, elements, coords, blocked)
+    want_b = ref_utils.window_analysis(window, elements, coords, blocked)
+    assert got_b is None
+    assert want_b is None
+
+
+def test_window_analysis_rejects_bad_vdw_length(cc3):
+    elements, coords, _ = cc3
+    with pytest.raises(ValueError, match="one radius per atom"):
+        u.window_analysis(
+            np.zeros((2, 8)), elements, coords, np.ones(3)
+        )

@@ -443,3 +443,227 @@ def test_pdb_trajectory_batched_with_rebuild(tmp_path):
         assert a[key]["pore_diameter_opt"]["diameter"] == pytest.approx(
             b[key]["pore_diameter_opt"]["diameter"], abs=1e-6
         )
+
+
+# --- whole-sweep native fast path (round 3) --------------------------------
+
+
+def test_native_map_matches_python_map():
+    """The C++ one-pass mapper must agree with the Python pair."""
+    from pywindow_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    t_native = pw.DLPOLY(HISTORY)
+    t_python = pw.DLPOLY(HISTORY)
+    # rebuild the map through the Python path on the same instance
+    t_python._check_history()
+    t_python._map_history()
+    assert t_native.no_of_frames == t_python.no_of_frames
+    assert t_native.trajectory_map == t_python.trajectory_map
+    assert t_native.check_log == t_python.check_log
+    assert t_native.no_of_atoms == t_python.no_of_atoms
+    assert t_native.periodic_boundary == t_python.periodic_boundary
+    assert t_native.content_type == t_python.content_type
+
+
+def test_native_map_empty_line_rejected(tmp_path):
+    bad = tmp_path / "HISTORY_empty_line"
+    text = HISTORY.read_text()
+    lines = text.split("\n")
+    lines.insert(10, "")
+    bad.write_text("\n".join(lines))
+    with pytest.raises(TrajectoryError, match="empty line"):
+        pw.DLPOLY(bad)
+
+
+def test_sweep_decode_native_matches_per_frame():
+    """Native whole-sweep decode: coords bitwise equal to the per-frame
+    path, exact f64 per-frame max diameters, constant-ids detection."""
+    from pywindow_tpu import native
+    from pywindow_tpu.ops.analysis import max_dim_host
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    t = pw.DLPOLY(HISTORY)
+    todo = list(range(t.no_of_frames))
+    got = t._sweep_decode_native(todo, {"he": "H"}, "OPLS")
+    assert got is not None
+    elements, coords, maxd = got
+    assert coords.shape == (20, 168, 3)
+    for f in (0, 7, 19):
+        molsys = t._get_frame(
+            frame_no=f, swap_atoms={"he": "H"}, forcefield="OPLS"
+        )
+        mol = molsys.system_to_molecule()
+        assert (np.asarray(mol.elements) == elements).all()
+        np.testing.assert_array_equal(
+            np.asarray(mol.coordinates), coords[f]
+        )
+        # the native f64 scan is bitwise equal to max_dim_host
+        assert maxd[f] == max_dim_host(elements, coords[f])
+
+
+def test_fast_sweep_matches_generic_batched():
+    """With a pinned sampling reference the fast path is bitwise equal
+    to the generic per-frame-decode batched path."""
+    from pywindow_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    t1 = pw.DLPOLY(HISTORY)
+    t2 = pw.DLPOLY(HISTORY)
+    t2._sweep_decode_native = lambda *a, **k: None  # force generic
+    kw = dict(
+        swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=8,
+        reference_max_diameter=23.6,
+    )
+    t1.analysis_batched(**kw)
+    t2.analysis_batched(**kw)
+    assert sorted(t1.analysis_output) == sorted(t2.analysis_output)
+    for f in t1.analysis_output:
+        a, b = t1.analysis_output[f]["0"], t2.analysis_output[f]["0"]
+        assert a.keys() == b.keys()
+        assert (
+            a["pore_diameter"]["diameter"] == b["pore_diameter"]["diameter"]
+        )
+        assert a["average_diameter"] == b["average_diameter"]
+        assert a["no_of_atoms"] == b["no_of_atoms"]
+        np.testing.assert_array_equal(
+            a["centre_of_mass"], b["centre_of_mass"]
+        )
+        wa, wb = a["windows"]["diameters"], b["windows"]["diameters"]
+        if wb is None:
+            assert wa is None
+        else:
+            np.testing.assert_array_equal(np.sort(wa), np.sort(wb))
+
+
+def test_fast_sweep_exact_sizes_matches_serial():
+    """Fast-path exact_sizes: same per-frame sampling sizes as the
+    serial path (same tolerance rationale as
+    test_exact_sizes_batched_matches_serial)."""
+    from pywindow_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    t1 = pw.DLPOLY(HISTORY)
+    t1.analysis_batched(
+        frames=[0, 5], exact_sizes=True,
+        forcefield="opls", swap_atoms={"he": "H"},
+    )
+    t2 = pw.DLPOLY(HISTORY)
+    t2.analysis(frames=[0, 5], forcefield="opls", swap_atoms={"he": "H"})
+    for f in (0, 5):
+        a = t1.analysis_output[f]["0"]
+        b = t2.analysis_output[f]["0"]
+        assert a["pore_diameter"]["diameter"] == pytest.approx(
+            b["pore_diameter"]["diameter"], abs=1e-6
+        )
+        np.testing.assert_allclose(
+            np.sort(a["windows"]["diameters"]),
+            np.sort(b["windows"]["diameters"]),
+            atol=2e-3,
+        )
+
+
+def test_fast_sweep_xyz_and_resume(tmp_path):
+    """XYZ fast path: equality with generic + autosave/resume."""
+    from pywindow_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    t0 = pw.DLPOLY(HISTORY)
+    sys0 = t0.get_frames(0, override=True)[0].system
+    out = tmp_path / "sweep.xyz"
+    blocks = []
+    for f in range(4):
+        s = t0.get_frames(f)[f].system
+        lines = [str(len(s["atom_ids"])), f"frame {f}"]
+        lines += [
+            f"{el} {x:.6f} {y:.6f} {z:.6f}"
+            for el, (x, y, z) in zip(s["atom_ids"], s["coordinates"])
+        ]
+        blocks.append("\n".join(lines))
+    out.write_text("\n".join(blocks) + "\n")
+    del sys0
+
+    save = tmp_path / "autosave.json"
+    t1 = pw.XYZ(out)
+    t1.analysis_batched(
+        swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=2,
+        reference_max_diameter=23.6, autosave=save, autosave_every=1,
+    )
+    assert save.exists()
+    t2 = pw.XYZ(out)
+    t2._sweep_decode_native = lambda *a, **k: None
+    t2.analysis_batched(
+        swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=2,
+        reference_max_diameter=23.6,
+    )
+    for f in range(4):
+        a, b = t1.analysis_output[f]["0"], t2.analysis_output[f]["0"]
+        assert (
+            a["pore_diameter"]["diameter"] == b["pore_diameter"]["diameter"]
+        )
+        wa, wb = a["windows"]["diameters"], b["windows"]["diameters"]
+        if wb is None:
+            assert wa is None
+        else:
+            np.testing.assert_array_equal(np.sort(wa), np.sort(wb))
+    # resume: reload the autosave into a fresh object, nothing re-runs
+    t3 = pw.XYZ(out)
+    t3.load_analysis(save)
+    marker = t3.analysis_output[0]
+    t3.analysis_batched(
+        swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=2,
+        reference_max_diameter=23.6,
+    )
+    assert t3.analysis_output[0] is marker
+
+
+def test_fast_sweep_pdb_matches_generic(tmp_path):
+    """PDB fast path (non-modular) equality with the generic path."""
+    from pywindow_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    t0 = pw.DLPOLY(HISTORY)
+    frames = []
+    for f in range(3):
+        s = t0.get_frames(f, override=True)[f].system
+        lines = []
+        for i, (el, (x, y, z)) in enumerate(
+            zip(s["atom_ids"], s["coordinates"])
+        ):
+            lines.append(
+                f"HETATM{i + 1:>5} {el:<4} MOL A{1:>4}    "
+                f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}"
+                f"          {el:>2}"
+            )
+        lines.append("END")
+        frames.append("\n".join(lines))
+    out = tmp_path / "sweep.pdb"
+    out.write_text("\n".join(frames) + "\n")
+
+    t1 = pw.PDB(out)
+    t1.analysis_batched(
+        swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=2,
+        reference_max_diameter=23.6,
+    )
+    t2 = pw.PDB(out)
+    t2._sweep_decode_native = lambda *a, **k: None
+    t2.analysis_batched(
+        swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=2,
+        reference_max_diameter=23.6,
+    )
+    for f in range(3):
+        a, b = t1.analysis_output[f]["0"], t2.analysis_output[f]["0"]
+        assert (
+            a["pore_diameter"]["diameter"] == b["pore_diameter"]["diameter"]
+        )
+        wa, wb = a["windows"]["diameters"], b["windows"]["diameters"]
+        if wb is None:
+            assert wa is None
+        else:
+            np.testing.assert_array_equal(np.sort(wa), np.sort(wb))

@@ -36,8 +36,11 @@ from pywindow_tpu.parallel.mesh import (
 
 @functools.lru_cache(maxsize=32)
 def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
-    """mesh_key: None (unsharded), "frames" (1-D device mesh), or
-    ("hosts", n_hosts) for the multi-host hosts x frames grid."""
+    """mesh_key: None (unsharded), "frames" (1-D device mesh),
+    ("hosts", n_hosts) for the single-process hosts x frames grid, or
+    ("procs", mesh, sharding) for a real multi-process mesh built by
+    :mod:`pywindow_tpu.parallel.distributed` (Mesh/NamedSharding are
+    hashable, so the compiled program is still memoised per mesh)."""
 
     def fn(mol):
         return pack_results(
@@ -54,7 +57,9 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
     batched = jax.vmap(fn)
     if mesh_key is None:
         return jax.jit(batched)
-    if isinstance(mesh_key, tuple) and mesh_key[0] == "hosts":
+    if isinstance(mesh_key, tuple) and mesh_key[0] == "procs":
+        sharding = mesh_key[2]
+    elif isinstance(mesh_key, tuple) and mesh_key[0] == "hosts":
         mesh = host_device_mesh(n_hosts=mesh_key[1])
         sharding = host_batch_sharding(mesh)
     else:
@@ -64,6 +69,15 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
         coords=sharding, mass=sharding, vdw=sharding, cov=sharding,
         mask=sharding,
     )
+    out_shardings = sharding if (
+        isinstance(mesh_key, tuple) and mesh_key[0] == "procs"
+    ) else None
+    if out_shardings is not None:
+        return jax.jit(
+            batched,
+            in_shardings=(shardings,),
+            out_shardings=out_shardings,
+        )
     return jax.jit(batched, in_shardings=(shardings,))
 
 

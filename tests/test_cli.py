@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from pywindow_tpu.__main__ import main
 from tests.conftest import DATA
 
@@ -14,6 +16,7 @@ def test_cli_analyze(tmp_path, capsys):
     assert data["windows"]["diameters"] is None
 
 
+@pytest.mark.slow
 def test_cli_trajectory(tmp_path):
     out = tmp_path / "traj.json"
     main([

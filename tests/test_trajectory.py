@@ -120,6 +120,7 @@ def test_xyz_trajectory_roundtrip(tmp_path, traj):
     )
 
 
+@pytest.mark.slow
 def test_xyz_trajectory_batched(tmp_path, traj):
     sys0 = traj.get_frames(0, override=True)[0].system
     out = tmp_path / "batched.xyz"
@@ -143,6 +144,7 @@ def test_xyz_trajectory_batched(tmp_path, traj):
     assert d == pytest.approx(4.8527, abs=0.01)
 
 
+@pytest.mark.slow
 def test_exact_sizes_batched_matches_serial(tmp_path):
     t1 = pw.DLPOLY(HISTORY)
     t1.analysis_batched(
@@ -420,6 +422,7 @@ def test_pdb_native_decode_matches_python(monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_pdb_trajectory_batched_with_rebuild(tmp_path):
     """PDB trajectory: the batched sweep with per-frame modular rebuild
     must match the serial path per molecule."""
@@ -504,6 +507,7 @@ def test_sweep_decode_native_matches_per_frame():
         assert maxd[f] == max_dim_host(elements, coords[f])
 
 
+@pytest.mark.slow
 def test_fast_sweep_matches_generic_batched():
     """With a pinned sampling reference the fast path is bitwise equal
     to the generic per-frame-decode batched path."""
@@ -539,6 +543,7 @@ def test_fast_sweep_matches_generic_batched():
             np.testing.assert_array_equal(np.sort(wa), np.sort(wb))
 
 
+@pytest.mark.slow
 def test_fast_sweep_exact_sizes_matches_serial():
     """Fast-path exact_sizes: same per-frame sampling sizes as the
     serial path (same tolerance rationale as
@@ -567,6 +572,7 @@ def test_fast_sweep_exact_sizes_matches_serial():
         )
 
 
+@pytest.mark.slow
 def test_fast_sweep_xyz_and_resume(tmp_path):
     """XYZ fast path: equality with generic + autosave/resume."""
     from pywindow_tpu import native
@@ -622,6 +628,7 @@ def test_fast_sweep_xyz_and_resume(tmp_path):
     assert t3.analysis_output[0] is marker
 
 
+@pytest.mark.slow
 def test_fast_sweep_pdb_matches_generic(tmp_path):
     """PDB fast path (non-modular) equality with the generic path."""
     from pywindow_tpu import native

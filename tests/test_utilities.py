@@ -70,6 +70,7 @@ def test_batch_matches_single(cc3_arrays):
         )
 
 
+@pytest.mark.slow
 def test_sharded_batch_over_virtual_mesh(cc3_arrays):
     """8-virtual-device CPU mesh: sharded == unsharded results."""
     import jax
@@ -85,6 +86,7 @@ def test_sharded_batch_over_virtual_mesh(cc3_arrays):
         )
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import pathlib
     import sys
@@ -95,6 +97,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_trajectory_pipelined_batch_matches_serial():
     traj = pw.DLPOLY(DATA / "HISTORY_singlemol_short")
     traj.analysis_batched(
@@ -142,6 +145,7 @@ def test_host_device_mesh():
     assert mesh2.devices.shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_hosts_frames_mesh_executes(cc3_arrays):
     """The full analysis sharded over a fake (2 hosts x 4 devices) grid
     must equal the unsharded result (SURVEY §5 distributed backend:
@@ -174,6 +178,7 @@ def test_hosts_frames_mesh_executes(cc3_arrays):
     assert {s.data.shape for s in arr.addressable_shards} == {(1, 4)}
 
 
+@pytest.mark.slow
 def test_autosave_and_resume(tmp_path):
     import json
 
@@ -214,6 +219,7 @@ def test_mixed_size_batch():
     assert len(res[2]["windows"]["diameters"]) == 2
 
 
+@pytest.mark.slow
 def test_dispatch_pad_batch_to(cc3_arrays):
     """A padded dispatch (odd remainder pinned to the steady chunk
     shape) must return exactly the unpadded systems' results."""

@@ -46,6 +46,7 @@ def test_windows_validation_suite(case):
         np.testing.assert_allclose(coms[j], g, atol=tol)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("case", [f"avg_case_{i}" for i in range(1, 6)])
 def test_average_diameter_validation_suite(case):
     elements, coords = load_xyz(DATA / f"{case}.xyz")

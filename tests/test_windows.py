@@ -150,6 +150,7 @@ def test_window_rotation_invariance():
     np.testing.assert_allclose(wa, wb, atol=0.01)
 
 
+@pytest.mark.slow
 def test_config_variants_on_batvup():
     """Non-default config branches: pore_opt off, second z pass,
     adjusted sampling density."""
@@ -191,6 +192,7 @@ def test_config_variants_on_batvup():
     np.testing.assert_allclose(dense, base, atol=0.05)
 
 
+@pytest.mark.slow
 def test_window_cap_escalation():
     """A saturated window-slot cap must escalate (cap doubled, re-run)
     until every cluster fits: the reference has NO cap, so silent

@@ -17,6 +17,15 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+# on TPU run the production mixed mode: float32 pipeline + float64
+# pore-opt stage (config.pore_opt_dtype) — plateau-window accuracy at
+# ~2% cost.  CPU runs keep whatever x64 setting the caller chose.
+if jax.default_backend() == "tpu":
+    import os as _os
+
+    _os.environ["PYWINDOW_TPU_FORCE_F32"] = "1"
+    jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 import pywindow_tpu as pw

@@ -56,23 +56,50 @@ class FullAnalysis(NamedTuple):
     windows: WindowsResult
 
 
+def optimise_pore_centre(
+    mol: MolArrays, cfg: AnalysisConfig = DEFAULT_CONFIG
+) -> jnp.ndarray:
+    """The optimised pore centre (L-BFGS-B from the COM, +-pore_r box;
+    reference: utilities.py:400-426).
+
+    In float32 mode (TPU) the optimisation runs in float64 when x64 is
+    enabled — the stage is 3 variables and a sliver of the pipeline,
+    but its f32 stopping point lands ~0.13 Å off on plateau systems and
+    seeds every window with the error (see config.pore_opt_dtype).
+    """
+    from pywindow_tpu.config import pore_opt_dtype
+
+    opt_dtype = pore_opt_dtype(mol.coords.dtype)
+    omol = mol
+    if opt_dtype != mol.coords.dtype:
+        omol = MolArrays(
+            coords=mol.coords.astype(opt_dtype),
+            mass=mol.mass.astype(opt_dtype),
+            vdw=mol.vdw.astype(opt_dtype),
+            cov=mol.cov.astype(opt_dtype),
+            mask=mol.mask,
+        )
+    com = center_of_mass(omol)
+    pd0, _ = pore_diameter(omol, com=com)
+    pore_r = pd0 / 2.0
+
+    def f_neg(points):
+        return -2.0 * clearance_field(points, omol)
+
+    opt = lbfgsb_minimize(
+        f_neg, com, com - pore_r, com + pore_r, maxiter=cfg.opt_maxiter
+    )
+    return opt.x.astype(mol.coords.dtype)
+
+
 def pore_diameter_opt(
     mol: MolArrays, cfg: AnalysisConfig = DEFAULT_CONFIG
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Optimised pore: L-BFGS-B mimic from the COM within +-pore_r bounds
     (reference: utilities.py:400-426)."""
-    com = center_of_mass(mol)
-    pd0, _ = pore_diameter(mol, com=com)
-    pore_r = pd0 / 2.0
-
-    def f_neg(points):
-        return -2.0 * clearance_field(points, mol)
-
-    opt = lbfgsb_minimize(
-        f_neg, com, com - pore_r, com + pore_r, maxiter=cfg.opt_maxiter
-    )
-    d, atom = pore_diameter(mol, com=opt.x)
-    return d, atom, opt.x
+    centre = optimise_pore_centre(mol, cfg)
+    d, atom = pore_diameter(mol, com=centre)
+    return d, atom, centre
 
 
 def full_analysis_device(

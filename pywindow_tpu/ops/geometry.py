@@ -97,8 +97,8 @@ def max_dim(mol: MolArrays) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     d = pairwise_distances(mol.coords, mol.coords)
     d = d + mol.vdw[..., :, None] + mol.vdw[..., None, :]
     n = mol.coords.shape[-2]
-    rows = jnp.arange(n)[:, None]
-    cols = jnp.arange(n)[None, :]
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
     valid = (
         (rows <= cols)
         & mol.mask[..., :, None]

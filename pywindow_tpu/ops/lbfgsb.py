@@ -659,7 +659,7 @@ def lbfgsb_minimize(
         # the histories are stored chronologically (shift-on-overflow,
         # see the update below), so no ring-index gather is needed —
         # TPU gathers inside the while body were a measurable cost
-        valid = jnp.arange(m) < col
+        valid = jnp.arange(m, dtype=jnp.int32) < col
         s_ord = jnp.where(valid[:, None], s_hist, 0.0)
         y_ord = jnp.where(valid[:, None], y_hist, 0.0)
         bmat = _build_b(s_ord, y_ord, valid, theta, d_dim)

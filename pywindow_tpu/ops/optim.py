@@ -211,7 +211,7 @@ def brute_then_polish(
     # window (~9 MB/frame measured on CC3) and was the pipeline's
     # single largest HBM temp.  argmin keeps scipy's first-min ties.
     i = jnp.argmin(fg)
-    sel = jnp.arange(fg.shape[0]) == i
+    sel = jnp.arange(fg.shape[0], dtype=jnp.int32) == i
     # masked sum, not a one-hot matmul: TPU f32 matmuls default to bf16
     # multiplies, which would round the selected grid point itself.
     x0 = jnp.sum(jnp.where(sel[:, None], grid, 0.0), axis=0)

@@ -28,6 +28,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _i32(v: int):
+    """Index-map constants pinned to i32: under x64 a bare python int
+    traces as i64 and 64-bit values crash the mosaic layout inferer."""
+    import jax.numpy as _jnp
+
+    return _jnp.int32(v)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -79,17 +87,17 @@ def clearance_min_pallas(
         grid=(q_pad // tile_q,),
         in_specs=[
             pl.BlockSpec(
-                (tile_q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tile_q, 3), lambda i: (i, _i32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (n_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (n_pad, 3), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, n_pad), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tile_q, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile_q, 1), lambda i: (i, _i32(0)), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((q_pad, 1), dtype),
         interpret=interpret,
@@ -171,7 +179,10 @@ def path_sweep_pallas(
             c = jnp.sqrt(acc) - r  # (tile_p, n_pad)
             cl = jnp.min(c, axis=1, keepdims=True)  # (tile_p, 1)
             validl = lf <= ch
-            ok = ok * jnp.where((cl > 0.0) | ~validl, 1.0, 0.0)
+            # dtype-pinned (a bare 1.0/0.0 where would be x64's f64)
+            ok = ok * ((cl > jnp.asarray(0.0, dtype)) | ~validl).astype(
+                dtype
+            )
             cm = jnp.where(validl, cl, jnp.full_like(cl, big))
             better = cm < cmin
             cmin = jnp.where(better, cm, cmin)
@@ -181,31 +192,33 @@ def path_sweep_pallas(
         ok0 = jnp.ones((v.shape[0], 1), dtype)
         pos0 = jnp.zeros((v.shape[0], 1), dtype)
         cmin0 = jnp.full((v.shape[0], 1), big, dtype)
+        # i32 loop bounds: python ints would make the counter i64 under
+        # x64, and 64-bit types crash the mosaic layout inferer
         ok, pos, cmin = jax.lax.fori_loop(
-            0, max_steps, body, (ok0, pos0, cmin0)
+            jnp.int32(0), jnp.int32(max_steps), body, (ok0, pos0, cmin0)
         )
         ok_ref[:] = ok
         pos_ref[:] = pos
         cmin_ref[:] = cmin
 
     out_spec = pl.BlockSpec(
-        (tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (tile_p, 1), lambda i: (i, _i32(0)), memory_space=pltpu.VMEM
     )
     ok, pos, cmin = pl.pallas_call(
         kernel,
         grid=(p_pad // tile_p,),
         in_specs=[
             pl.BlockSpec(
-                (tile_p, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tile_p, 3), lambda i: (i, _i32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tile_p, 1), lambda i: (i, _i32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (3, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (3, n_pad), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, n_pad), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(out_spec, out_spec, out_spec),
@@ -266,6 +279,11 @@ def ray_exit_pallas(
     def kernel(u_ref, x_ref, r_ref, o_ref, anyf_ref, mexit_ref):
         u = u_ref[:]  # (tile_p, 3)
         r = r_ref[:]  # (1, n_pad)
+        # literals pinned to the kernel dtype: under x64 a bare python
+        # float traces as a weak-f64 constant whose f64->f32 cast
+        # (tpu.truncf) mosaic cannot legalize
+        zero = jnp.asarray(0.0, dtype)
+        neg_big = jnp.asarray(-big, dtype)
 
         t_ca = None
         for k in range(3):
@@ -276,8 +294,8 @@ def ray_exit_pallas(
             perp = x_ref[k : k + 1, :] - t_ca * u[:, k : k + 1]
             d2 = perp * perp if d2 is None else d2 + perp * perp
         under = r * r - d2
-        hits = under > 0.0
-        t_hc = jnp.sqrt(jnp.where(hits, under, 0.0))
+        hits = under > zero
+        t_hc = jnp.sqrt(jnp.where(hits, under, zero))
         t0 = t_ca - t_hc
         t1 = t_ca + t_hc
         p0n2 = None
@@ -290,31 +308,33 @@ def ray_exit_pallas(
             p1n2 = b * b if p1n2 is None else p1n2 + b * b
         front = hits & (p0n2 < p1n2)
         anyf_ref[:] = jnp.max(
-            jnp.where(front, 1.0, 0.0), axis=1, keepdims=True
+            # dtype-pinned: bare 1.0/0.0 branches would lower as the
+            # x64 default float and break the f32 output ref
+            front.astype(u.dtype), axis=1, keepdims=True
         )
         exit_norm = jnp.sqrt(p1n2)
         mexit_ref[:] = jnp.max(
-            jnp.where(front, exit_norm, -big), axis=1, keepdims=True
+            jnp.where(front, exit_norm, neg_big), axis=1, keepdims=True
         )
 
     out_spec = pl.BlockSpec(
-        (tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (tile_p, 1), lambda i: (i, _i32(0)), memory_space=pltpu.VMEM
     )
     anyf, mexit = pl.pallas_call(
         kernel,
         grid=(p_pad // tile_p,),
         in_specs=[
             pl.BlockSpec(
-                (tile_p, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tile_p, 3), lambda i: (i, _i32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (3, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (3, n_pad), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, n_pad), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 3), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, 3), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(out_spec, out_spec),

@@ -247,20 +247,9 @@ def find_windows(
     if pore_centre is not None and cfg.pore_opt:
         centre = pore_centre
     elif cfg.pore_opt:
-        pd0, _ = pore_diameter(mol, com=initial_com)
-        pore_r = pd0 / 2.0
+        from pywindow_tpu.ops.analysis import optimise_pore_centre
 
-        def f_neg(points):
-            return -2.0 * clearance_field(points, mol)
-
-        opt = lbfgsb_minimize(
-            f_neg,
-            initial_com,
-            initial_com - pore_r,
-            initial_com + pore_r,
-            maxiter=cfg.opt_maxiter,
-        )
-        centre = opt.x
+        centre = optimise_pore_centre(mol, cfg)
     else:
         centre = initial_com
 

@@ -29,13 +29,13 @@ _jax.config.update(
 )
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-# production mixed mode: float32 pipeline + float64 pore-opt stage
-# (see config.pore_opt_dtype; FORCE_F32 keeps the pipeline f32 when the
-# bench is exercised on a CPU host)
+# production mode: plain float32 pipeline with the symbolic-difference
+# pore-centre optimiser (config.pore_opt_mode "stable") — float64-grade
+# stopping behaviour without x64/emulated-f64 anywhere.  FORCE_F32 pins
+# the dtype when the bench is exercised on a CPU host.
 import os as _os
 
 _os.environ["PYWINDOW_TPU_FORCE_F32"] = "1"
-_jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 

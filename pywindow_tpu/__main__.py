@@ -111,15 +111,9 @@ def cmd_bench(_args) -> None:
 
 
 def main(argv=None) -> None:
-    # on TPU run the production mixed mode: float32 pipeline + float64
-    # pore-opt stage (see config.pore_opt_dtype)
-    import os
-
-    import jax
-
-    if jax.default_backend() == "tpu":
-        os.environ["PYWINDOW_TPU_FORCE_F32"] = "1"
-        jax.config.update("jax_enable_x64", True)
+    # TPU production mode is plain float32: the pore-centre stage uses
+    # the symbolic-difference optimiser (config.pore_opt_mode "stable"),
+    # so no x64/emulated-f64 is needed anywhere.
 
     parser = argparse.ArgumentParser(
         prog="python -m pywindow_tpu",

@@ -41,19 +41,43 @@ def default_dtype() -> np.dtype:
     return np.dtype(np.float64)
 
 
-def pore_opt_dtype(dtype) -> np.dtype:
-    """Dtype for the pore-centre optimisation stage.
+def pore_opt_mode(dtype) -> str:
+    """How the pore-centre optimisation stage runs.
 
     The optimised pore centre seeds the whole window pipeline (ray
     origins, cluster membership, widest-ray choice); on plateau systems
-    (NUXHIZ-class) a float32 L-BFGS-B stops ~0.13 Å from the float64
-    stopping point and every window inherits the shift (~0.2 Å).  The
-    stage is a 3-variable optimisation — a negligible slice of the
-    pipeline — so whenever f64 is representable (x64 enabled) the
-    optimiser state AND its clearance evaluations run in f64 and only
-    the resulting centre is cast back.  Measured effect: NUXHIZ f32
-    window error 0.22 Å -> ~1e-3 Å.
+    (NUXHIZ-class) a naive float32 L-BFGS-B stops ~0.13 Å from the
+    float64 stopping point and every window inherits the shift
+    (~0.22 Å on NUXHIZ).  Modes:
+
+    - ``"stable"`` (float32 default): the symbolic-difference driver
+      (:func:`pywindow_tpu.ops.lbfgsb.lbfgsb_minimize_stable`) — all
+      optimiser decisions consume cancellation-free clearance
+      differences, reproducing the float64 stopping behaviour at
+      float32 speed (measured NUXHIZ centre offset 3.3e-4 Å vs the f64
+      point; naive f32: 0.155 Å).  No x64 required.
+    - ``"promote"``: legacy mixed mode — cast the stage to float64
+      (requires x64; *emulated* double-word arithmetic on TPU, a
+      measured 29% pipeline cost at B=1440).
+    - ``"classic"`` (float64 default): the plain driver in the pipeline
+      dtype — the scipy-parity golden path.
+
+    ``PYWINDOW_TPU_PORE_OPT`` overrides the choice.
     """
+    env = os.environ.get("PYWINDOW_TPU_PORE_OPT")
+    if env:
+        if env not in ("classic", "stable", "promote"):
+            msg = f"PYWINDOW_TPU_PORE_OPT={env!r}: expected classic|stable|promote"
+            raise ValueError(msg)
+        return env
+    if np.dtype(dtype) == np.float32:
+        return "stable"
+    return "classic"
+
+
+def pore_opt_dtype(dtype) -> np.dtype:
+    """Dtype for the pore-centre stage under ``pore_opt_mode() == "promote"``:
+    float64 whenever representable (x64 enabled), else the pipeline dtype."""
     if np.dtype(dtype) == np.float32 and jax.config.read("jax_enable_x64"):
         return np.dtype(np.float64)
     return np.dtype(dtype)

@@ -62,26 +62,41 @@ def optimise_pore_centre(
     """The optimised pore centre (L-BFGS-B from the COM, +-pore_r box;
     reference: utilities.py:400-426).
 
-    In float32 mode (TPU) the optimisation runs in float64 when x64 is
-    enabled — the stage is 3 variables and a sliver of the pipeline,
-    but its f32 stopping point lands ~0.13 Å off on plateau systems and
-    seeds every window with the error (see config.pore_opt_dtype).
+    In float32 mode (TPU) a naive run stops ~0.13 Å off on plateau
+    systems and seeds every window with the error, so the stage runs
+    the symbolic-difference driver by default — float64 stopping
+    behaviour at float32 speed (see :func:`pywindow_tpu.config.pore_opt_mode`).
     """
-    from pywindow_tpu.config import pore_opt_dtype
+    from pywindow_tpu.config import pore_opt_dtype, pore_opt_mode
+    from pywindow_tpu.ops.geometry import pore_stable_probe
+    from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize_stable
 
-    opt_dtype = pore_opt_dtype(mol.coords.dtype)
+    mode = pore_opt_mode(mol.coords.dtype)
     omol = mol
-    if opt_dtype != mol.coords.dtype:
-        omol = MolArrays(
-            coords=mol.coords.astype(opt_dtype),
-            mass=mol.mass.astype(opt_dtype),
-            vdw=mol.vdw.astype(opt_dtype),
-            cov=mol.cov.astype(opt_dtype),
-            mask=mol.mask,
-        )
+    if mode == "promote":
+        opt_dtype = pore_opt_dtype(mol.coords.dtype)
+        if opt_dtype != mol.coords.dtype:
+            omol = MolArrays(
+                coords=mol.coords.astype(opt_dtype),
+                mass=mol.mass.astype(opt_dtype),
+                vdw=mol.vdw.astype(opt_dtype),
+                cov=mol.cov.astype(opt_dtype),
+                mask=mol.mask,
+            )
     com = center_of_mass(omol)
     pd0, _ = pore_diameter(omol, com=com)
     pore_r = pd0 / 2.0
+
+    if mode == "stable":
+
+        def f_abs(x):
+            return -2.0 * clearance_field(x[None, :], omol)[0]
+
+        opt = lbfgsb_minimize_stable(
+            pore_stable_probe(omol), f_abs, com, com - pore_r,
+            com + pore_r, maxiter=cfg.opt_maxiter,
+        )
+        return opt.x
 
     def f_neg(points):
         return -2.0 * clearance_field(points, omol)

@@ -78,6 +78,73 @@ def clearance_field(points: jnp.ndarray, mol: MolArrays) -> jnp.ndarray:
     return jnp.min(jnp.where(mol.mask[..., None, :], d, BIG), axis=-1)
 
 
+def clearance_diff(
+    x: jnp.ndarray, disp: jnp.ndarray, mol: MolArrays
+) -> jnp.ndarray:
+    """Cancellation-free clearance differences around a base point.
+
+    For each displacement ``s_k`` returns
+    ``clearance(x + s_k) - clearance(x)`` with the displacement treated
+    *symbolically*: the per-atom distance change is computed as
+    ``(|p-a|^2 - |x-a|^2) / (|p-a| + |x-a|) = s.((x-a)+(p-a)) / (d_p + d_x)``
+    — no large-magnitude subtraction ever happens, so the result stays
+    accurate (relative ~eps_f32 of the difference itself) even for
+    ``|s| ~ 1e-8``, where a plain f32 ``f(x+s) - f(x)`` is pure
+    cancellation noise.  This is what lets the float32 pipeline drive
+    scipy-f64-style finite differences (ops/lbfgsb.py stable mode)
+    without emulated float64.
+
+    The difference of clearance minima is reduced as
+    ``min_i((c_i - m0) + delta_i)`` with ``m0 = min_i c_i``: the
+    ``c_i - m0`` operands are nearby f32 values (exact by Sterbenz for
+    every atom that can win), and adding the small ``delta_i`` keeps
+    full relative precision instead of being absorbed into a ~f-sized
+    magnitude.
+
+    x: (..., 3); disp: (..., K, 3) -> (..., K).
+    """
+    dxv = x[..., None, :] - mol.coords  # (..., N, 3)
+    db = jnp.sqrt(jnp.sum(dxv * dxv, axis=-1))  # (..., N)
+    cb = jnp.where(mol.mask, db - mol.vdw, BIG)
+    m0 = jnp.min(cb, axis=-1)
+
+    pdv = dxv[..., None, :, :] + disp[..., :, None, :]  # (..., K, N, 3)
+    dp = jnp.sqrt(jnp.sum(pdv * pdv, axis=-1))  # (..., K, N)
+    num = jnp.sum(
+        disp[..., :, None, :] * (dxv[..., None, :, :] + pdv), axis=-1
+    )
+    den = db[..., None, :] + dp
+    delta = num / jnp.where(den == 0.0, 1.0, den)
+    q = jnp.where(
+        mol.mask[..., None, :],
+        (cb - m0[..., None])[..., None, :] + delta,
+        BIG,
+    )
+    return jnp.min(q, axis=-1)
+
+
+def pore_stable_probe(mol: MolArrays):
+    """Symbolic-difference evaluator of the pore objective ``-2*clearance``.
+
+    Returns ``probe(x, disp, h) -> (delta_f, grad)`` for
+    :func:`pywindow_tpu.ops.lbfgsb.lbfgsb_minimize_stable`:
+    ``delta_f = f(x+disp) - f(x)`` via :func:`clearance_diff`
+    (cancellation-free for any ``|disp|``), and the 2-point FD gradient
+    at ``x + disp`` whose numerators are symbolic ``h``-displacements —
+    scipy's ``h = 1e-8`` step works in float32 because the difference
+    never passes through absolute f values (reference behaviour:
+    utilities.py:400-426 with scipy float64 FD).
+    """
+
+    def probe(x, disp, h):
+        delta = clearance_diff(x, disp[None, :], mol)[0]
+        p = x + disp
+        dprobe = clearance_diff(p, jnp.diag(h), mol)
+        return -2.0 * delta, -2.0 * (dprobe / h)
+
+    return probe
+
+
 def clearance_and_argmin(
     points: jnp.ndarray, mol: MolArrays
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -234,13 +234,26 @@ def _dcsrch(
     f_batch, x, d, f0, g_vec0, stp0, stpmax_feasible, lower, upper, maxfev=20
 ):
     """Moré–Thuente line search along d from x (phi(t) = f(x + t d))."""
-    dtype = f0.dtype
-    g0 = _dot(g_vec0, d)
-    gtest = _FTOL * g0
 
     def phi(stp):
         fx, g = _fd_value_and_grad(f_batch, x + stp * d, lower, upper)
         return fx, g
+
+    return _dcsrch_phi(phi, d, f0, g_vec0, stp0, stpmax_feasible, maxfev)
+
+
+def _dcsrch_phi(phi, d, f0, g_vec0, stp0, stpmax_feasible, maxfev=20):
+    """dcsrch core over a generic evaluator ``phi(stp) -> (f, gvec)``.
+
+    Every decision in dcsrch is a comparison of f *differences*
+    (``f <= f0 + stp*gtest`` etc.), so the search is translation
+    invariant: the stable float32 driver passes ``phi`` returning
+    cancellation-free deltas with ``f0 = 0`` and gets the float64
+    decision sequence without ever representing absolute f values.
+    """
+    dtype = f0.dtype
+    g0 = _dot(g_vec0, d)
+    gtest = _FTOL * g0
 
     stpmin = jnp.asarray(0.0, dtype)
     stpmax = stpmax_feasible
@@ -788,3 +801,230 @@ def lbfgsb_minimize(
     pg0 = x - jnp.clip(x - g, lower, upper)
     conv = conv | (jnp.max(jnp.abs(pg0)) <= pgtol)
     return LbfgsbResult(x=x, fun=fx, nit=it, converged=conv)
+
+
+def _stable_fd_h(p, lower, upper, fd_step):
+    """scipy's FD step at ``p`` for the symbolic-displacement evaluator.
+
+    The absolute step ``h = 1e-8`` (scipy's L-BFGS-B ``jac=None``
+    default) is used *directly* — the stable evaluator never forms
+    ``p + h``, so representability of the step in the working dtype is
+    irrelevant and the float32 relative-step fallback of
+    :func:`_fd_value_and_grad` is unnecessary.  The 1-sided bound
+    adjustment (`_adjust_scheme_to_bounds`) is applied on the exact
+    distances: with ``h > 0`` the only possible violation is
+    ``upper - p < h`` (in float32 that triggers when p sits exactly on
+    the bound — which is where subsm snaps iterates).
+    """
+    dtype = p.dtype
+    h = jnp.full_like(p, fd_step)
+    lower_dist = p - lower
+    upper_dist = upper - p
+    violated = upper_dist < h
+    fitting = jnp.abs(h) <= jnp.maximum(lower_dist, upper_dist)
+    h = jnp.where(violated & fitting, -h, h)
+    h = jnp.where(~fitting & (upper_dist >= lower_dist), upper_dist, h)
+    h = jnp.where(~fitting & (upper_dist < lower_dist), -lower_dist, h)
+    return h.astype(dtype)
+
+
+def lbfgsb_minimize_stable(
+    probe: Callable,
+    f_abs: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+    m: int = _M,
+    maxiter: int = 50,
+    pgtol: float = 1e-5,
+    factr: float = 1e7,
+    maxls: int = 20,
+    fd_step: float = _FD_ABS_STEP,
+) -> LbfgsbResult:
+    """Float32-native L-BFGS-B with float64-grade stopping behaviour.
+
+    The scipy algorithm consumes the objective only through
+    *differences*: FD gradients ``(f(x+h e_i) - f(x))/h``, line-search
+    sufficient-decrease tests ``f(x+t d) - f(x) <= t * gtest``, and the
+    ``factr`` reduction test.  In plain float32 those differences are
+    cancellation noise at scipy's ``h = 1e-8`` scale, which is why a
+    naive f32 run stops ~0.13 Å from the float64 point on plateau
+    clearance fields (and why the previous production mode promoted
+    this stage to emulated f64 on TPU — a measured 29% pipeline cost).
+
+    Here every difference is evaluated *symbolically* by ``probe``:
+
+    ``probe(x, disp, h) -> (f(x+disp) - f(x), grad_h f at x+disp)``
+
+    where the displacement never touches the representation of ``x``
+    (see :func:`pywindow_tpu.ops.geometry.clearance_diff`), so the
+    deltas carry full float32 *relative* precision of the difference
+    itself — accuracy comparable to f64 absolute-f differencing.  The
+    whole driver then runs in delta space: the line search gets
+    ``f0 = 0`` (dcsrch is translation-invariant, see
+    :func:`_dcsrch_phi`), and the ``factr`` test uses the exact
+    per-iteration delta.  Absolute f (``f_abs``) is only consulted for
+    the ``factr`` magnitude scale and the reported ``fun``.
+
+    Matches :func:`lbfgsb_minimize` in every other algorithmic detail
+    (GCP, subsm, restart machinery, lnsrlb step rules — reference
+    behaviour: utilities.py:400-426).
+    """
+    dtype = x0.dtype
+    d_dim = x0.shape[-1]
+    tol = factr * _EPS64
+    epsmch = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    boxed = jnp.all(jnp.abs(lower) < 1e9) & jnp.all(jnp.abs(upper) < 1e9)
+    zero = jnp.asarray(0.0, dtype)
+
+    def grad_at(x):
+        h = _stable_fd_h(x, lower, upper, fd_step)
+        _, g = probe(x, jnp.zeros_like(x), h)
+        return g
+
+    x = jnp.clip(x0, lower, upper)
+    fx_abs = f_abs(x)
+    g = grad_at(x)
+
+    s_hist = jnp.zeros((m, d_dim), dtype)
+    y_hist = jnp.zeros((m, d_dim), dtype)
+    state0 = (
+        x,
+        fx_abs,
+        g,
+        s_hist,
+        y_hist,
+        jnp.asarray(1.0, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(False),
+    )
+
+    def body(state):
+        (x, fx_abs, g, s_hist, y_hist, theta, n_pairs, it, trips, done,
+         conv) = state
+
+        col = jnp.minimum(n_pairs, m)
+        valid = jnp.arange(m, dtype=jnp.int32) < col
+        s_ord = jnp.where(valid[:, None], s_hist, 0.0)
+        y_ord = jnp.where(valid[:, None], y_hist, 0.0)
+        bmat = _build_b(s_ord, y_ord, valid, theta, d_dim)
+
+        xcp_z, free = _cauchy(x, g, lower, upper, bmat, theta, epsmch)
+        xcp = x + xcp_z
+        z = jnp.where(col > 0, _subsm(x, g, bmat, xcp, free, lower, upper),
+                      xcp)
+        d = z - x
+        dnorm = jnp.sqrt(_dot(d, d))
+        gd_old = _dot(g, d)
+
+        big = jnp.asarray(1e10, dtype)
+        step_to_bound = jnp.where(
+            d > 0,
+            (upper - x) / jnp.where(d == 0, 1.0, d),
+            jnp.where(d < 0, (lower - x) / jnp.where(d == 0, 1.0, d), big),
+        )
+        first = it == 0
+        stpmx = jnp.where(
+            first,
+            jnp.asarray(1.0, dtype),
+            jnp.minimum(jnp.min(step_to_bound), big),
+        )
+        inv_dnorm = 1.0 / jnp.where(dnorm == 0, 1.0, dnorm)
+        stp0 = jnp.where(
+            first & ~boxed,
+            jnp.minimum(inv_dnorm, stpmx),
+            jnp.asarray(1.0, dtype),
+        )
+
+        def phi(stp):
+            disp = stp * d
+            h = _stable_fd_h(x + disp, lower, upper, fd_step)
+            return probe(x, disp, h)
+
+        res = _dcsrch_phi(phi, d, zero, g, stp0, stpmx, maxfev=maxls)
+        ls_failed = res.failed
+        xn = x + res.stp * d
+        delta = res.f  # f(xn) - f(x), cancellation-free
+        gn = res.g
+
+        pg = xn - jnp.clip(xn - gn, lower, upper)
+        pg_done = jnp.max(jnp.abs(pg)) <= pgtol
+        fn_abs = fx_abs + delta
+        f_reduction_done = (-delta) <= tol * jnp.maximum(
+            jnp.maximum(jnp.abs(fx_abs), jnp.abs(fn_abs)), 1.0
+        )
+        # delta-space resolution outlives the iterate's: once the
+        # accepted step rounds to zero in the working dtype the iterate
+        # provably cannot move again (same x -> same gradient -> same
+        # direction), yet the symbolic deltas keep reporting ~1e-9
+        # "reductions" that never trip factr.  Scipy-f64 never hits
+        # this (factr fires ~7 decades above its iterate resolution);
+        # here it is the dtype-correct convergence criterion.
+        stalled = jnp.all(xn == x)
+        step_ok = ~ls_failed
+        new_conv = step_ok & (pg_done | f_reduction_done | stalled)
+
+        gd = _dot(gn, d)
+        one_step = res.stp == 1.0
+        dr = jnp.where(one_step, gd - gd_old, (gd - gd_old) * res.stp)
+        ddum = jnp.where(one_step, -gd_old, -gd_old * res.stp)
+        store = step_ok & (dr > _EPS64 * ddum)
+        s = res.stp * d
+        y = gn - g
+        full = n_pairs >= m
+        write_at = jnp.minimum(n_pairs, m - 1)
+        s_app = s_hist.at[write_at].set(s)
+        y_app = y_hist.at[write_at].set(y)
+        s_shift = jnp.concatenate([s_hist[1:], s[None, :]], axis=0)
+        y_shift = jnp.concatenate([y_hist[1:], y[None, :]], axis=0)
+        s_hist_n = jnp.where(store, jnp.where(full, s_shift, s_app), s_hist)
+        y_hist_n = jnp.where(store, jnp.where(full, y_shift, y_app), y_hist)
+        n_pairs_n = jnp.where(store, n_pairs + 1, n_pairs)
+        rr = _dot(y, y)
+        theta_n = jnp.where(store, rr / jnp.where(dr == 0, 1.0, dr), theta)
+
+        restart = ls_failed & (col > 0)
+        fatal = ls_failed & (col == 0)
+        n_pairs_n = jnp.where(restart, 0, n_pairs_n)
+        theta_n = jnp.where(restart, 1.0, theta_n)
+
+        xn = jnp.where(ls_failed, x, xn)
+        fn_abs = jnp.where(ls_failed, fx_abs, fn_abs)
+        gn = jnp.where(ls_failed, g, gn)
+
+        new_done = new_conv | fatal
+
+        keep = done
+        return (
+            jnp.where(keep, x, xn),
+            jnp.where(keep, fx_abs, fn_abs),
+            jnp.where(keep, g, gn),
+            jnp.where(keep, s_hist, s_hist_n),
+            jnp.where(keep, y_hist, y_hist_n),
+            jnp.where(keep, theta, theta_n),
+            jnp.where(keep, n_pairs, n_pairs_n),
+            it + jnp.where(keep | ls_failed, 0, 1),
+            trips + 1,
+            done | new_done,
+            conv | (~keep & new_conv),
+        )
+
+    def cond(state):
+        x, fx_abs, g, _, _, _, _, it, trips, done, _ = state
+        pg = x - jnp.clip(x - g, lower, upper)
+        return (
+            (~done)
+            & (it < maxiter)
+            & (trips < 2 * maxiter + 4)
+            & (jnp.max(jnp.abs(pg)) > pgtol)
+        )
+
+    x, fx_abs, g, _, _, _, _, it, _, done, conv = jax.lax.while_loop(
+        cond, body, state0
+    )
+    pg0 = x - jnp.clip(x - g, lower, upper)
+    conv = conv | (jnp.max(jnp.abs(pg0)) <= pgtol)
+    return LbfgsbResult(x=x, fun=fx_abs, nit=it, converged=conv)

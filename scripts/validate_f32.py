@@ -23,11 +23,10 @@ _jax.config.update(
 )
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-# float32 pipeline + float64 pore-opt stage (the TPU production mode):
-# x64 makes f64 representable, FORCE_F32 pins the pipeline dtype so the
-# same mixed mode runs when this gate is exercised on CPU.
+# TPU production mode: plain float32 pipeline with the symbolic-
+# difference pore-centre optimiser (config.pore_opt_mode "stable").
+# FORCE_F32 pins the dtype so the same mode runs on a CPU host.
 _os.environ["PYWINDOW_TPU_FORCE_F32"] = "1"
-_jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 
@@ -60,13 +59,14 @@ GOLD = {
             7.944822155795365, 7.95227623300941, 7.963120398998443,
         ],
     },
-    # plateau-window systems: the f32 pore-centre optimiser used to
-    # stop ~0.13 A from the f64 point and every window inherited the
-    # shift (~0.22 A on NUXHIZ); the f64 pore-opt stage (x64 enabled on
-    # TPU, 1.6% measured cost at B=1440) brings them inside the
-    # contract.  Goldens: NUXHIZ from reference example_1, SAYGOR from
-    # reference example_5, REYMAL from the CPU-x64 parity run (the
-    # reference publishes no REYMAL window values).
+    # plateau-window systems: a naive f32 pore-centre optimiser stops
+    # ~0.13 A from the f64 point and every window inherits the shift
+    # (~0.22 A on NUXHIZ); the symbolic-difference stable optimiser
+    # (config.pore_opt_mode, f32-native) brings them inside the
+    # contract at zero emulation cost.  Goldens: NUXHIZ from reference
+    # example_1, SAYGOR from reference example_5, REYMAL from the
+    # CPU-x64 parity run (the reference publishes no REYMAL window
+    # values).
     # NUXHIZ carries a documented 0.05 A allowance: with the accurate
     # pore centre its residual f32 error is the z/xy refinement landing
     # one kink over on the plateau (TPU measured 0.043 A; scipy

@@ -1,18 +1,21 @@
-"""The production mixed mode: float32 pipeline + float64 pore-opt.
+"""The float32 production mode: stable pore-opt on a plain f32 pipeline.
 
-On plateau systems (NUXHIZ) the f32 pore-centre L-BFGS-B stops ~0.13 A
-from the f64 point and every window inherits the shift (~0.22 A); with
-the pore-opt stage promoted (config.pore_opt_dtype) the same f32
-pipeline lands within ~1e-3 A of the f64 goldens (CPU; 0.043 A on TPU
-where the downstream refinement differs — documented allowance in
-scripts/validate_f32.py).
+On plateau systems (NUXHIZ) a naive f32 pore-centre L-BFGS-B stops
+~0.13 A from the f64 point and every window inherits the shift
+(~0.22 A).  The production fix is the symbolic-difference driver
+(ops/lbfgsb.lbfgsb_minimize_stable + ops/geometry.clearance_diff): all
+optimiser decisions consume cancellation-free clearance differences, so
+the f32 path reproduces the f64 stopping behaviour (measured NUXHIZ
+centre offset 3.3e-4 A) without x64 or emulated f64.  The legacy
+"promote" mixed mode (f64 pore-opt stage, 29% measured TPU cost)
+remains available via PYWINDOW_TPU_PORE_OPT=promote.
 """
 
 import numpy as np
 import pytest
 
 import pywindow_tpu as pw
-from pywindow_tpu.config import default_dtype, pore_opt_dtype
+from pywindow_tpu.config import default_dtype, pore_opt_dtype, pore_opt_mode
 from tests.conftest import DATA, load_xyz
 
 NUXHIZ_WINDOWS = np.sort(
@@ -20,19 +23,32 @@ NUXHIZ_WINDOWS = np.sort(
 )
 
 
-def test_pore_opt_dtype_rules(monkeypatch):
-    # x64 is enabled by conftest: f32 promotes, f64 stays
-    assert pore_opt_dtype(np.float32) == np.float64
-    assert pore_opt_dtype(np.float64) == np.float64
-    # FORCE_F32 pins the *pipeline* default, not the pore-opt stage
+def test_pore_opt_mode_rules(monkeypatch):
+    assert pore_opt_mode(np.float32) == "stable"
+    assert pore_opt_mode(np.float64) == "classic"
+    # FORCE_F32 pins the *pipeline* default; mode follows the dtype
     monkeypatch.setenv("PYWINDOW_TPU_FORCE_F32", "1")
     assert default_dtype() == np.float32
+    assert pore_opt_mode(np.float32) == "stable"
+    # env override selects the legacy paths
+    monkeypatch.setenv("PYWINDOW_TPU_PORE_OPT", "promote")
+    assert pore_opt_mode(np.float32) == "promote"
+    monkeypatch.setenv("PYWINDOW_TPU_PORE_OPT", "classic")
+    assert pore_opt_mode(np.float32) == "classic"
+    monkeypatch.setenv("PYWINDOW_TPU_PORE_OPT", "nonsense")
+    with pytest.raises(ValueError):
+        pore_opt_mode(np.float32)
+
+
+def test_pore_opt_dtype_rules():
+    # x64 is enabled by conftest: promote-mode casts f32 up
     assert pore_opt_dtype(np.float32) == np.float64
+    assert pore_opt_dtype(np.float64) == np.float64
 
 
 @pytest.mark.slow
-def test_mixed_mode_fixes_plateau_windows(monkeypatch):
-    """f32 pipeline + f64 pore-opt reproduces NUXHIZ's f64 windows."""
+def test_stable_mode_fixes_plateau_windows(monkeypatch):
+    """f32 pipeline + stable pore-opt reproduces NUXHIZ's f64 windows."""
     monkeypatch.setenv("PYWINDOW_TPU_FORCE_F32", "1")
     elements, coords = load_xyz(DATA / "NUXHIZ.xyz")
     mol = pw.Molecule({"elements": elements, "coordinates": coords})
@@ -47,6 +63,31 @@ def test_mixed_mode_fixes_plateau_windows(monkeypatch):
     # two windows land within ~1e-3; the third sits one kink over on
     # the plateau (0.043 A) because the *input coordinates* are already
     # f32-rounded — the documented NUXHIZ allowance (validate_f32.py).
-    # Without the f64 pore-opt stage the whole set was ~0.22 A off.
+    # Without the stable pore-opt stage the whole set was ~0.22 A off.
     np.testing.assert_allclose(wins, NUXHIZ_WINDOWS, atol=5e-2)
     assert np.sum(np.abs(wins - NUXHIZ_WINDOWS) < 5e-3) >= 2
+
+
+@pytest.mark.slow
+def test_promote_mode_still_works(monkeypatch):
+    """The legacy f64-stage mixed mode stays available via env."""
+    monkeypatch.setenv("PYWINDOW_TPU_FORCE_F32", "1")
+    monkeypatch.setenv("PYWINDOW_TPU_PORE_OPT", "promote")
+    elements, coords = load_xyz(DATA / "NUXHIZ.xyz")
+    mol = pw.Molecule({"elements": elements, "coordinates": coords})
+    props = mol.full_analysis()
+    wins = np.sort(props["windows"]["diameters"])
+    np.testing.assert_allclose(wins, NUXHIZ_WINDOWS, atol=5e-2)
+
+
+def test_stable_matches_classic_f64_centre():
+    """The stable f32 driver lands on the f64 stopping point (NUXHIZ)."""
+    from pywindow_tpu.ops.analysis import optimise_pore_centre
+    from pywindow_tpu.ops.encoding import encode
+
+    elements, coords = load_xyz(DATA / "NUXHIZ.xyz")
+    m64 = encode(elements, coords, dtype=np.float64)
+    m32 = encode(elements, coords, dtype=np.float32)
+    c64 = np.asarray(optimise_pore_centre(m64))
+    c32 = np.asarray(optimise_pore_centre(m32), dtype=np.float64)
+    assert np.linalg.norm(c32 - c64) < 2e-3

@@ -388,3 +388,89 @@ def test_lbfgsb_random_fuzz_vs_scipy(seed):
     ref = minimize(f_np, x0=x0, bounds=list(zip(lo, hi)))
     np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=2e-6)
     assert float(res.fun) == pytest.approx(ref.fun, abs=1e-8)
+
+
+def _exact_probe(f_b64):
+    """Symbolic-difference probe for the stable driver, computed in f64.
+
+    Mimics what ops/geometry.clearance_diff provides for the clearance
+    objective: deltas and FD-probe differences accurate to the
+    *difference* scale, handed back in the caller's dtype.
+    """
+
+    def probe(x, disp, h):
+        x64 = x.astype(jnp.float64)
+        p64 = x64 + disp.astype(jnp.float64)
+        h64 = h.astype(jnp.float64)
+        fp = f_b64(p64[None, :])[0]
+        delta = fp - f_b64(x64[None, :])[0]
+        probes = f_b64(p64[None, :] + jnp.diag(h64)) - fp
+        return delta.astype(x.dtype), (probes / h64).astype(x.dtype)
+
+    return probe
+
+
+@pytest.mark.parametrize(
+    ("label", "f_b", "f_np", "x0", "lo", "hi", "n_active"),
+    _PINNED_CASES,
+    ids=[c[0] for c in _PINNED_CASES],
+)
+def test_lbfgsb_stable_f32_matches_scipy(label, f_b, f_np, x0, lo, hi,
+                                         n_active):
+    """The delta-space stable driver with float32 state must stop where
+    scipy-f64 stops (to f32 iterate resolution) — including on
+    bound-pinned problems, where the GCP/subsm machinery runs through
+    the same delta-space line searches."""
+    from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize_stable
+
+    x0 = np.asarray(x0, dtype=np.float32)
+    lo32 = np.asarray(lo, dtype=np.float32)
+    hi32 = np.asarray(hi, dtype=np.float32)
+
+    def f_abs(x):
+        return f_b(x[None, :].astype(jnp.float64))[0].astype(x.dtype)
+
+    res = jax.jit(
+        lambda c, a, b: lbfgsb_minimize_stable(
+            _exact_probe(f_b), f_abs, c, a, b, maxiter=200
+        )
+    )(jnp.asarray(x0), jnp.asarray(lo32), jnp.asarray(hi32))
+    ref = minimize(
+        f_np,
+        x0=np.asarray(x0, np.float64),
+        bounds=list(zip(np.asarray(lo32, np.float64),
+                        np.asarray(hi32, np.float64))),
+    )
+    assert np.asarray(res.x).dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(res.x, np.float64), ref.x, atol=5e-5
+    )
+
+
+def test_lbfgsb_stable_vmaps():
+    """The stable driver must vmap (the batched trajectory pipeline
+    wraps optimise_pore_centre in vmap over molecules)."""
+    from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize_stable
+
+    def f_b64(X):
+        return jnp.sum((X - jnp.asarray([0.3, -0.2, 0.1])) ** 2, axis=-1)
+
+    def f_abs(x):
+        return f_b64(x[None, :].astype(jnp.float64))[0].astype(x.dtype)
+
+    def solve(x0, lo, hi):
+        return lbfgsb_minimize_stable(
+            _exact_probe(f_b64), f_abs, x0, lo, hi, maxiter=50
+        )
+
+    x0 = jnp.asarray(
+        [[1.0, 1.0, 1.0], [-0.5, 0.4, 0.0]], dtype=jnp.float32
+    )
+    lo = jnp.full((2, 3), -2.0, jnp.float32)
+    hi = jnp.full((2, 3), 2.0, jnp.float32)
+    res = jax.jit(jax.vmap(solve))(x0, lo, hi)
+    np.testing.assert_allclose(
+        np.asarray(res.x),
+        np.tile([0.3, -0.2, 0.1], (2, 1)),
+        atol=5e-5,
+    )

@@ -110,6 +110,9 @@ class Input:
     }
 
     def load_file(self, filepath: pathlib.Path | str) -> dict:
+        """Parse an ``.xyz``/``.pdb``/``.mol`` file into the system dict
+        (``elements``, ``coordinates``, optional ``atom_ids``/``unit_cell``)
+        (reference: io_tools.py:107)."""
         filepath = pathlib.Path(filepath)
         reader = self._READERS.get(filepath.suffix)
         if reader is None:

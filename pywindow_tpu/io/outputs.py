@@ -29,11 +29,13 @@ def to_list(obj):
 
 
 class NotADictionaryError(TypeError):
-    pass
+    """Raised when a dump helper receives a non-dict object
+    (reference: io_tools.py:668)."""
 
 
 class FileTypeError(ValueError):
-    pass
+    """Raised for an unsupported output extension
+    (reference: io_tools.py:676)."""
 
 
 def _check_override(filepath: pathlib.Path, override: bool) -> None:
@@ -56,6 +58,8 @@ class Output:
         default: Callable = to_list,
         override: bool = False,
     ) -> None:
+        """Write *obj* as JSON, appending ``.json`` when missing
+        (reference: io_tools.py:215)."""
         if not isinstance(obj, dict):
             msg = "dump2json only accepts dictionaries"
             raise NotADictionaryError(msg)
@@ -74,6 +78,8 @@ class Output:
         override: bool = False,
         **kwargs,
     ) -> None:
+        """Write a system dict to ``.pdb`` or ``.xyz`` by extension
+        (reference: io_tools.py:240)."""
         filepath = pathlib.Path(filepath)
         _check_override(filepath, override)
         if filepath.suffix == ".pdb":

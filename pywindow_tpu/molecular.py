@@ -109,6 +109,7 @@ class Molecule:
             self.full_analysis()
 
     def molecular_weight(self) -> float:
+        """Sum of atomic masses in g/mol (reference: molecular.py:268)."""
         from pywindow_tpu import tables
 
         ids = tables.element_ids(self.elements)
@@ -116,6 +117,8 @@ class Molecule:
         return self.MW
 
     def calculate_centre_of_mass(self) -> np.ndarray:
+        """Mass-weighted centroid; stored under ``centre_of_mass``
+        (reference: molecular.py:277)."""
         from pywindow_tpu import tables
 
         ids = tables.element_ids(self.elements)
@@ -126,30 +129,48 @@ class Molecule:
         return com
 
     def calculate_maximum_diameter(self) -> float:
+        """Largest interatomic distance plus vdW radii, in Å
+        (reference: molecular.py:288)."""
         self._ensure_analysis()
         return self.maximum_diameter
 
     def calculate_average_diameter(self) -> float:
+        """Mean vdW-surface diameter over a unit-sphere ray fan, in Å
+        (reference: molecular.py:299)."""
         self._ensure_analysis()
         return self.average_diameter
 
     def calculate_pore_diameter(self) -> float:
+        """Intrinsic pore diameter about the centre of mass, in Å
+        (reference: molecular.py:306)."""
         self._ensure_analysis()
         return self.pore_diameter
 
     def calculate_pore_volume(self) -> float:
+        """Spherical volume of the COM pore, in Å³
+        (reference: molecular.py:313)."""
         self._ensure_analysis()
         return self.pore_volume
 
     def calculate_pore_diameter_opt(self) -> float:
+        """Pore diameter after optimising the centre, in Å
+        (reference: molecular.py:320)."""
         self._ensure_analysis()
         return self.pore_diameter_opt
 
     def calculate_pore_volume_opt(self) -> float:
+        """Spherical volume of the optimised pore, in Å³
+        (reference: molecular.py:331)."""
         self._ensure_analysis()
         return self.pore_volume_opt
 
     def calculate_windows(self, ncpus: int = 1) -> np.ndarray | None:
+        """Window diameters in Å, or ``None`` when no windows are found.
+
+        ``ncpus`` is accepted for reference-signature compatibility
+        (reference: molecular.py:342) — the device pipeline analyses all
+        windows at once.
+        """
         del ncpus
         self._ensure_analysis()
         return self.properties["windows"]["diameters"]
@@ -231,6 +252,8 @@ class Molecule:
         molecular: bool = False,
         override: bool = False,
     ) -> None:
+        """Serialise ``properties`` (plus the molecule dict when
+        ``molecular=True``) to JSON (reference: molecular.py:398)."""
         dict_obj = deepcopy(self.properties)
         if molecular:
             dict_obj.update(self.mol)
@@ -397,6 +420,8 @@ class MolecularSystem:
         }
 
     def system_to_molecule(self) -> Molecule:
+        """Treat the whole system as one :class:`Molecule`
+        (reference: molecular.py:818)."""
         return Molecule(self.system, str(self.system_id), 0)
 
     def analyze_molecules(self) -> dict:
@@ -434,6 +459,8 @@ class MolecularSystem:
         override: bool = False,
         **kwargs,
     ) -> None:
+        """Write the system to PDB/XYZ; ``modular=True`` concatenates the
+        rebuilt molecules instead (reference: molecular.py:849)."""
         if filepath is None:
             filepath = pathlib.Path.cwd() / f"{self.system_id}.pdb"
         filepath = pathlib.Path(filepath)
@@ -477,6 +504,8 @@ class MolecularSystem:
         modular: bool = False,
         override: bool = False,
     ) -> None:
+        """Serialise the system dict (or per-molecule dicts when
+        ``modular=True``) to JSON (reference: molecular.py:893)."""
         dict_obj = deepcopy(self.system)
         if modular:
             if not self.molecules:

@@ -125,6 +125,14 @@ def full_analysis_device(
     l2: int,
     cfg: AnalysisConfig,
 ) -> FullAnalysis:
+    """One fused device pass producing every per-molecule property.
+
+    Computes molecular weight, COM, maximum/average diameter, intrinsic
+    and optimised pore, and the full window set in a single traced
+    computation so XLA can share the clearance primitives across stages
+    (the reference runs these as separate host calls,
+    utilities.py:1363-1464).
+    """
     mw = molecular_weight(mol)
     com = center_of_mass(mol)
     a1, a2, maxd = max_dim(mol)
@@ -202,6 +210,8 @@ def pack_results(res: FullAnalysis) -> jnp.ndarray:
 
 
 def packed_size(max_windows: int) -> int:
+    """Length of the packed per-molecule result vector (scalars + window
+    slots) used for the single device→host fetch per batch."""
     return 19 + 6 * max_windows
 
 

@@ -47,10 +47,14 @@ def lattice_array_to_unit_cell(lattice: np.ndarray) -> np.ndarray:
 
 
 def volume_from_lattice_array(lattice: np.ndarray) -> float:
+    """Unit-cell volume as the lattice-matrix determinant
+    (reference: utilities.py:944)."""
     return float(np.linalg.det(np.asarray(lattice, dtype=np.float64)))
 
 
 def volume_from_cell_parameters(cryst) -> float:
+    """Unit-cell volume from (a, b, c, alpha, beta, gamma)
+    (reference: utilities.py:953)."""
     return volume_from_lattice_array(unit_cell_to_lattice_array(cryst))
 
 

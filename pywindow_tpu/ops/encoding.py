@@ -38,6 +38,7 @@ class MolArrays(NamedTuple):
 
     @property
     def n_atoms(self) -> jnp.ndarray:
+        """Real (unpadded) atom count per molecule."""
         return jnp.sum(self.mask, axis=-1)
 
 
@@ -46,6 +47,7 @@ FAR_AWAY = 1.0e6
 
 
 def round_up(n: int, multiple: int) -> int:
+    """Smallest multiple of *multiple* that is >= *n* (pad sizing)."""
     return ((n + multiple - 1) // multiple) * multiple
 
 

@@ -246,16 +246,22 @@ def sorted_eigenvalues(tensor: jnp.ndarray) -> jnp.ndarray:
 
 
 def asphericity(eigvals_desc: jnp.ndarray) -> jnp.ndarray:
+    """Asphericity b from descending inertia eigenvalues
+    (reference: utilities.py:626)."""
     return eigvals_desc[..., 0] - 0.5 * (
         eigvals_desc[..., 1] + eigvals_desc[..., 2]
     )
 
 
 def acylindricity(eigvals_desc: jnp.ndarray) -> jnp.ndarray:
+    """Acylindricity c from descending inertia eigenvalues
+    (reference: utilities.py:633)."""
     return eigvals_desc[..., 1] - eigvals_desc[..., 2]
 
 
 def relative_shape_anisotropy(eigvals_desc: jnp.ndarray) -> jnp.ndarray:
+    """Relative shape anisotropy kappa^2 in [0, 1]
+    (reference: utilities.py:640)."""
     s = jnp.sum(eigvals_desc, axis=-1)
     pair = (
         eigvals_desc[..., 0] * eigvals_desc[..., 1]

@@ -28,6 +28,7 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
+    """A sharding that replicates an array on every device of *mesh*."""
     return NamedSharding(mesh, PartitionSpec())
 
 

@@ -36,9 +36,11 @@ class Metrics:
         self.stage_calls: collections.Counter = collections.Counter()
 
     def count(self, name: str, value: float = 1) -> None:
+        """Increment counter *name* by *value*."""
         self.counters[name] += value
 
     def snapshot(self) -> dict:
+        """Copy of all counters and stage timings."""
         return {
             "counters": dict(self.counters),
             "stage_seconds": dict(self.stage_seconds),
@@ -46,6 +48,7 @@ class Metrics:
         }
 
     def reset(self) -> None:
+        """Clear all counters and stage timings."""
         self.counters.clear()
         self.stage_seconds.clear()
         self.stage_calls.clear()
@@ -56,11 +59,13 @@ _ENABLED = os.environ.get("PYWINDOW_TPU_PROFILE", "") == "1"
 
 
 def enable(on: bool = True) -> None:
+    """Globally enable/disable stage timing collection."""
     global _ENABLED
     _ENABLED = on
 
 
 def enabled() -> bool:
+    """Whether stage timing collection is on."""
     return _ENABLED
 
 

@@ -693,6 +693,8 @@ class Trajectory:
         filepath: pathlib.Path | str | None = None,
         override: bool = False,
     ) -> None:
+        """Serialise ``analysis_output`` to JSON (also the autosave
+        checkpoint format; reference: trajectory.py:745)."""
         # no deepcopy: json.dump only reads, and the autosave checkpoint
         # calls this repeatedly during long sweeps.
         dict_obj = self.analysis_output
@@ -714,6 +716,9 @@ class Trajectory:
         forcefield: str | None = None,
         **kwargs,
     ) -> None:
+        """Write selected frames to per-frame ``.pdb``/``.xyz`` files,
+        optionally swapping/deciphering forcefield atom keys first
+        (reference: trajectory.py:669)."""
         if filepath is None:
             filepath = pathlib.Path.cwd() / str(self.system_id)
         filepath = pathlib.Path(filepath)

@@ -60,17 +60,23 @@ def unique(input_list):
 
 
 def molecular_weight(elements) -> float:
+    """Sum of atomic masses for *elements*, in g/mol
+    (reference: utilities.py:472)."""
     from pywindow_tpu import tables
 
     return float(tables.ELEMENT_MASS[tables.element_ids(elements)].sum())
 
 
 def center_of_coor(coordinates) -> np.ndarray:
+    """Geometric centroid of *coordinates*
+    (reference: utilities.py:443)."""
     c = np.asarray(coordinates, dtype=np.float64)
     return c.sum(axis=0) / len(c)
 
 
 def center_of_mass(elements, coordinates) -> np.ndarray:
+    """Mass-weighted centroid
+    (reference: utilities.py:454)."""
     from pywindow_tpu import tables
 
     m = tables.ELEMENT_MASS[tables.element_ids(elements)]
@@ -431,6 +437,8 @@ def is_number(value: str) -> bool:
 
 
 def sphere_volume(radius: float) -> float:
+    """Volume of a sphere of *radius*
+    (reference: utilities.py:618)."""
     return float(4.0 / 3.0 * np.pi * radius**3)
 
 

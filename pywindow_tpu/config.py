@@ -132,6 +132,17 @@ class AnalysisConfig:
     #: re-run) whenever a molecule saturates it, up to
     #: :data:`MAX_WINDOWS_CEILING` — the reference has no cap at all.
     max_windows: int = 8
+    #: open-ray compaction cap as a fraction of the sampling-point count.
+    #: The coarse path sweep and the DBSCAN clustering only ever consume
+    #: rays the analytic pre-analysis left open (typically 0-60% of the
+    #: spiral; see find_windows), so those stages run on a compacted
+    #: (order-preserving) slot array of ``round_up(frac * P, 128)`` rays
+    #: — the two dominant device costs shrink by 2-4x.  Molecules whose
+    #: open-ray count exceeds the cap are flagged and transparently
+    #: re-run with a doubled fraction by the host entry points (same
+    #: escalation pattern as ``max_windows``).  ``>= 1.0`` disables
+    #: compaction (full-spiral path).
+    open_cap_frac: float = 0.4
     #: iteration budget for the on-device bounded quasi-Newton optimiser.
     opt_maxiter: int = 120
     #: iteration budget for the Nelder–Mead polish stages.
@@ -140,6 +151,9 @@ class AnalysisConfig:
     def __post_init__(self) -> None:
         if self.adjust <= 0 or self.increment <= 0 or self.increment2 <= 0:
             msg = "adjust/increment/increment2 must be positive"
+            raise ValueError(msg)
+        if self.open_cap_frac <= 0:
+            msg = "open_cap_frac must be positive (>= 1.0 disables)"
             raise ValueError(msg)
 
 

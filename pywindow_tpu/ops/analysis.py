@@ -175,7 +175,7 @@ def pack_results(res: FullAnalysis) -> jnp.ndarray:
 
     Crossing device->host as a single array matters: fetching the ~19
     separate leaves costs a round-trip each (over a tunneled TPU that is
-    ~100 ms per leaf).  Layout: 13 scalars, COM(3), opt centre(3), then
+    ~100 ms per leaf).  Layout: 14 scalars, COM(3), opt centre(3), then
     per-window diameters/valid/refine_failed/centres for ``W`` slots.
     """
     w = res.windows
@@ -197,6 +197,7 @@ def pack_results(res: FullAnalysis) -> jnp.ndarray:
                     res.pore_opt_atom.astype(f),
                     w.any_open.astype(f),
                     w.n_clusters.astype(f),
+                    w.open_overflow.astype(f),
                 ]
             ),
             res.centre_of_mass,
@@ -212,16 +213,16 @@ def pack_results(res: FullAnalysis) -> jnp.ndarray:
 def packed_size(max_windows: int) -> int:
     """Length of the packed per-molecule result vector (scalars + window
     slots) used for the single device→host fetch per batch."""
-    return 19 + 6 * max_windows
+    return 20 + 6 * max_windows
 
 
 def unpack_results(flat: np.ndarray, max_windows: int) -> FullAnalysis:
     """Host-side inverse of :func:`pack_results` (numpy arrays)."""
     wnd = max_windows
-    s = flat[:13]
-    com = flat[13:16]
-    centre = flat[16:19]
-    off = 19
+    s = flat[:14]
+    com = flat[14:17]
+    centre = flat[17:20]
+    off = 20
     diam = flat[off : off + wnd]
     valid = flat[off + wnd : off + 2 * wnd] > 0.5
     failed = flat[off + 2 * wnd : off + 3 * wnd] > 0.5
@@ -233,6 +234,7 @@ def unpack_results(flat: np.ndarray, max_windows: int) -> FullAnalysis:
         any_open=np.bool_(s[11] > 0.5),
         n_clusters=np.int32(round(float(s[12]))),
         refine_failed=failed,
+        open_overflow=np.bool_(s[13] > 0.5),
     )
     return FullAnalysis(
         molecular_weight=s[0],
@@ -349,6 +351,14 @@ def analyze(
             flat = _compiled_full_analysis(n_win, n_avg, l1, l2, cfg)(mol)
             res = unpack_results(np.asarray(flat), cfg.max_windows)
         props = to_properties_dict(res)
+        # escalate: open rays overflowed the compaction cap — double the
+        # fraction (>= 1.0 reverts to the uncompacted path) and re-run
+        if props.pop("_open_cap_overflow", False):
+            cfg = dataclasses.replace(
+                cfg, open_cap_frac=2.0 * cfg.open_cap_frac
+            )
+            props.pop("_window_cap_saturated", None)
+            continue
         if (
             not props.pop("_window_cap_saturated", False)
             or cfg.max_windows >= MAX_WINDOWS_CEILING
@@ -419,4 +429,10 @@ def to_properties_dict(res: FullAnalysis) -> dict:
         # re-run the molecule with a doubled cap (the reference has no
         # cap, so silent truncation is a parity bug, not a feature).
         out["_window_cap_saturated"] = True
+    if bool(res.windows.open_overflow):
+        # open rays exceeded the compaction cap: the compact-space sweep
+        # missed rays, so these results are not trustworthy.  Host entry
+        # points pop this marker and re-run with a doubled
+        # cfg.open_cap_frac (>= 1.0 == the uncompacted full sweep).
+        out["_open_cap_overflow"] = True
     return out

@@ -53,6 +53,23 @@ class WindowsResult(NamedTuple):
     any_open: jnp.ndarray  # scalar bool; False == reference's None return
     n_clusters: jnp.ndarray  # scalar int32 (before refinement failures)
     refine_failed: jnp.ndarray  # (W,) bool, for warning parity
+    open_overflow: jnp.ndarray  # scalar bool: open rays exceeded the
+    #                             compaction cap (host retries with a
+    #                             doubled cfg.open_cap_frac)
+
+
+def open_cap(n_points: int, frac: float) -> int | None:
+    """Compacted open-ray slot count, or ``None`` when compaction is off.
+
+    Rounded up to a 128 lane multiple; a cap that would not actually
+    shrink the sweep disables compaction.
+    """
+    if frac >= 1.0:
+        return None
+    import math
+
+    k = ((int(math.ceil(n_points * frac)) + 127) // 128) * 128
+    return k if k < n_points else None
 
 
 def _octant_angles(vector: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -261,8 +278,40 @@ def find_windows(
     eps = rays.mean_knn_eps_scaled(n_points, radius)
 
     open_pre = rays.preanalysis_open(points, shifted)
-    path = rays.path_analysis(points, shifted, cfg.increment, l1)
-    survives = open_pre & path.ok & has_pore
+
+    # --- open-ray compaction ------------------------------------------
+    # The coarse path sweep and the DBSCAN only ever consume rays the
+    # analytic pre-analysis left open (blocked rays can neither survive
+    # nor cluster), and open rays are typically 0-60% of the spiral.
+    # Compact them — order-preserving — into K static slots via an
+    # exact one-hot matmul (MXU-friendly; a TPU gather here would
+    # serialise), and run both stages in compact space.  Every
+    # downstream quantity (cluster renumbering by first core index,
+    # widest-ray argmax tie-breaks) depends only on relative order, so
+    # results are bitwise identical to the full-spiral path whenever
+    # the open count fits the cap; overflow is flagged for the host's
+    # escalation retry (see parallel.batch.retry_saturated_windows).
+    kcap = open_cap(n_points, cfg.open_cap_frac)
+    if kcap is None:
+        cpoints = points
+        path = rays.path_analysis(points, shifted, cfg.increment, l1)
+        survives = open_pre & path.ok & has_pore
+        overflow = jnp.asarray(False)
+    else:
+        openb = open_pre
+        pos = jnp.cumsum(openb.astype(jnp.int32)) - 1  # (P,)
+        n_open = jnp.sum(openb.astype(jnp.int32))
+        overflow = n_open > kcap
+        slot = jnp.arange(kcap, dtype=jnp.int32)  # (K,)
+        onehot = (pos[None, :] == slot[:, None]) & openb[None, :]
+        cpoints = jnp.matmul(
+            onehot.astype(dtype),
+            points,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K, 3): exact — one 1.0 coefficient per row, rest 0.0
+        slot_valid = slot < jnp.minimum(n_open, kcap)
+        path = rays.path_analysis(cpoints, shifted, cfg.increment, l1)
+        survives = slot_valid & path.ok & has_pore
     any_open = jnp.any(survives)
 
     # dense eps-graph: measured faster than the (P, K) candidate-list
@@ -270,7 +319,7 @@ def find_windows(
     # cluster.dbscan_spiral remains available for gather-friendly
     # backends)
     labels, n_clusters = dbscan(
-        points,
+        cpoints,
         survives,
         eps,
         min_samples=cfg.dbscan_min_samples,
@@ -286,11 +335,11 @@ def find_windows(
     # in one batched sweep: one (W, L2, N) pass (Pallas-routable on TPU)
     # instead of W separate (1, L2, N) HBM intermediates.
     w_ids = jnp.arange(cfg.max_windows, dtype=jnp.int32)
-    in_cluster = labels[None, :] == w_ids[:, None]  # (W, P)
+    in_cluster = labels[None, :] == w_ids[:, None]  # (W, K)
     width_masked = jnp.where(in_cluster, path.width[None, :], -BIG)
     exists = (w_ids < n_clusters) & jnp.any(in_cluster, axis=-1)
     sel = jnp.where(exists, jnp.argmax(width_masked, axis=-1), fallback_sel)
-    vectors = points[sel]  # (W, 3)
+    vectors = cpoints[sel]  # (W, 3)
     refined = rays.path_analysis(vectors, shifted, cfg.increment2, l2)
 
     def per_cluster(vector, r_ok, r_dist, ex):
@@ -313,4 +362,5 @@ def find_windows(
         any_open=any_open,
         n_clusters=n_clusters,
         refine_failed=failed,
+        open_overflow=overflow,
     )

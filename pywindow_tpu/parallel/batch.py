@@ -106,11 +106,15 @@ def max_safe_batch(
     """
     from pywindow_tpu.config import pad_multiple
     from pywindow_tpu.ops.encoding import round_up
+    from pywindow_tpu.ops.windows import open_cap
 
     n_pad = round_up(max(n_atoms, 1), pad_multiple())
     n_win, _, _, l2 = static_sizes(max_diameter, cfg)
+    # open-ray compaction shrinks the DBSCAN buffers to the cap (plus
+    # the (K, P) one-hot compaction matrix)
+    k = open_cap(n_win, cfg.open_cap_frac) or n_win
     per_frame = 4.0 * (
-        2.2 * n_win * n_win + 1.2 * cfg.max_windows * l2 * n_pad
+        2.2 * k * k + k * n_win + 1.2 * cfg.max_windows * l2 * n_pad
     )
     return max(1, int(hbm_budget // max(int(per_frame), 1)))
 
@@ -433,18 +437,40 @@ def retry_saturated_windows(
     cfg: AnalysisConfig,
     **analyze_kwargs,
 ) -> list[dict]:
-    """Escalate molecules whose window clusters saturated the slot cap.
+    """Escalate molecules whose device run outgrew a static cap.
 
-    ``to_properties_dict`` marks saturated results; those systems re-run
-    with a doubled ``max_windows`` (recursively, up to
-    ``MAX_WINDOWS_CEILING``) so no window is ever silently truncated —
-    the reference has no cap at all.  Pops the marker from every
-    result.
+    Two markers from ``to_properties_dict`` trigger a re-run:
+
+    - ``_open_cap_overflow``: the open-ray count exceeded the
+      compaction cap — re-run with a doubled ``open_cap_frac``
+      (>= 1.0 reverts to the uncompacted full sweep), recursively.
+    - ``_window_cap_saturated``: more window clusters than slots —
+      re-run with a doubled ``max_windows`` (recursively, up to
+      ``MAX_WINDOWS_CEILING``) so no window is ever silently truncated
+      (the reference has no cap at all).
+
+    Pops both markers from every result.
     """
     import dataclasses
     import logging
 
     from pywindow_tpu.config import MAX_WINDOWS_CEILING
+
+    over = [
+        i
+        for i, r in enumerate(results)
+        if r.pop("_open_cap_overflow", False)
+    ]
+    if over:
+        cfg2 = dataclasses.replace(
+            cfg, open_cap_frac=2.0 * cfg.open_cap_frac
+        )
+        redo = analyze_batch(
+            [systems[i] for i in over], cfg2, **analyze_kwargs
+        )
+        for i, r in zip(over, redo):
+            # the escalated run handled its own saturation/overflow
+            results[i] = r
 
     idxs = [
         i

@@ -216,6 +216,7 @@ def analysis_batched_distributed(
     from pywindow_tpu.config import MAX_WINDOWS_CEILING
 
     saturated: list[int] = []
+    overflowed: list[int] = []
     for p in range(n_procs):
         shard = shards[p]
         for k, frame in enumerate(shard):
@@ -224,13 +225,28 @@ def analysis_batched_distributed(
             props = to_properties_dict(
                 unpack_results(full[p * per_dev + k], cfg.max_windows)
             )
+            if props.pop("_open_cap_overflow", False):
+                overflowed.append(frame)
             if props.pop("_window_cap_saturated", False):
                 saturated.append(frame)
             props.pop("molecular_weight", None)
             props["no_of_atoms"] = int(n)
             traj.analysis_output.setdefault(frame, {})["0"] = props
 
-    # --- window-cap escalation: all processes re-run the same subset ---
+    # --- cap escalations: all processes re-run the same subsets --------
+    if overflowed:
+        analysis_batched_distributed(
+            traj,
+            frames=sorted(set(overflowed)),
+            swap_atoms=swap_atoms,
+            forcefield=forcefield,
+            override=True,
+            reference_max_diameter=ref,
+            cfg=dataclasses.replace(
+                cfg, open_cap_frac=2.0 * cfg.open_cap_frac
+            ),
+        )
+        saturated = [f for f in saturated if f not in set(overflowed)]
     if saturated and cfg.max_windows < MAX_WINDOWS_CEILING:
         analysis_batched_distributed(
             traj,

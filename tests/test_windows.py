@@ -6,6 +6,8 @@ optimiser's mid-ridge stopping point moved between scipy releases), so
 they get a 0.05 A tolerance; everything else must agree to < 0.01 A.
 """
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -223,3 +225,65 @@ def test_window_cap_escalation():
     for item in batch:
         assert "_window_cap_saturated" not in item
         assert len(item["windows"]["diameters"]) == 4
+
+
+def test_open_cap_rule():
+    """Cap rounds up to 128 lanes and disables itself when useless."""
+    from pywindow_tpu.ops.windows import open_cap
+
+    assert open_cap(797, 0.4) == 384
+    assert open_cap(797, 0.8) == 640
+    assert open_cap(797, 1.0) is None  # >= 1.0 disables
+    assert open_cap(100, 0.4) is None  # 128 >= 100: no shrink
+    assert open_cap(889, 0.8) == 768
+
+
+@pytest.mark.slow
+def test_open_compaction_bitwise_and_escalation():
+    """Open-ray compaction must be bitwise-invisible: compact-space
+    results equal the full-spiral path exactly, and an undersized cap
+    escalates (fraction doubled, re-run) instead of truncating.
+
+    REYMAL is the stress case: 523 of 889 rays are open (58.8%), so the
+    default 0.4 cap overflows and the escalation retry must kick in
+    transparently."""
+    import dataclasses
+
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.ops.analysis import analyze
+    from pywindow_tpu.parallel.batch import analyze_batch
+
+    full_cfg = dataclasses.replace(DEFAULT_CONFIG, open_cap_frac=1.0)
+    tiny_cfg = dataclasses.replace(DEFAULT_CONFIG, open_cap_frac=0.2)
+    for name in ("PUDXES", "REYMAL"):
+        elements, coords = load_xyz(
+            pathlib.Path("/root/reference/examples/data/input")
+            / f"{name}.xyz"
+        )
+        ref = analyze(elements, coords, full_cfg)
+        for cfg in (DEFAULT_CONFIG, tiny_cfg):
+            got = analyze(elements, coords, cfg)
+            assert "_open_cap_overflow" not in got
+            np.testing.assert_array_equal(
+                got["windows"]["diameters"], ref["windows"]["diameters"]
+            )
+            np.testing.assert_array_equal(
+                got["windows"]["centre_of_mass"],
+                ref["windows"]["centre_of_mass"],
+            )
+            assert (
+                got["pore_diameter_opt"]["diameter"]
+                == ref["pore_diameter_opt"]["diameter"]
+            )
+
+    # batched path: the escalation retry runs through analyze_batch
+    elements, coords = load_xyz(
+        pathlib.Path("/root/reference/examples/data/input/REYMAL.xyz")
+    )
+    ref = analyze(elements, coords, full_cfg)
+    batch = analyze_batch([(elements, coords)] * 2, tiny_cfg)
+    for item in batch:
+        assert "_open_cap_overflow" not in item
+        np.testing.assert_array_equal(
+            item["windows"]["diameters"], ref["windows"]["diameters"]
+        )

@@ -29,8 +29,10 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
 #include <atomic>
 #include <thread>
+#include <utility>
 #include <vector>
 #include <unordered_set>
 
@@ -42,6 +44,98 @@ inline double dist3(const double* a, const double* b) {
     const double dz = a[2] - b[2];
     // numpy reduces axis -1 as ((x^2 + y^2) + z^2)
     return std::sqrt((dx * dx + dy * dy) + dz * dz);
+}
+
+// Fast strtod-compatible float parse for the decoder hot loops.
+//
+// Handles the overwhelmingly common "[-+]ddd[.ddd][eE[+-]dd]" pattern
+// with a single correctly-rounded operation: an exact integer mantissa
+// (<= 2^53) multiplied or divided by an exact power of ten (<= 1e22)
+// rounds once, which is exactly what a correctly-rounded strtod
+// produces — so the fast path is bitwise identical.  Anything else
+// (hex floats, inf/nan, 17+ significant digits, |exponent| > 22)
+// falls back to std::strtod at the original position.
+inline bool parse_double_at(
+    const char* text, long len, long& pos, double* out) {
+    while (pos < len &&
+           (text[pos] == ' ' || text[pos] == '\t' || text[pos] == '\r'))
+        ++pos;
+    if (pos >= len) return false;
+    static const double kPow10[23] = {
+        1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,
+        1e8,  1e9,  1e10, 1e11, 1e12, 1e13, 1e14, 1e15,
+        1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+    long p = pos;
+    bool neg = false;
+    if (text[p] == '+' || text[p] == '-') {
+        neg = text[p] == '-';
+        ++p;
+    }
+    uint64_t m = 0;
+    int n_digits = 0;  // significant digits accumulated into m
+    int frac = 0;
+    bool any = false, dot = false, too_long = false;
+    while (p < len) {
+        const char c = text[p];
+        if (c >= '0' && c <= '9') {
+            if (n_digits < 17) {
+                m = m * 10 + static_cast<uint64_t>(c - '0');
+                if (m != 0) ++n_digits;
+                if (dot) ++frac;
+            } else {
+                too_long = true;
+            }
+            any = true;
+            ++p;
+        } else if (c == '.' && !dot) {
+            dot = true;
+            ++p;
+        } else {
+            break;
+        }
+    }
+    if (!any) {  // not a plain number ("inf", hex, garbage)
+        char* end = nullptr;
+        const double v = std::strtod(text + pos, &end);
+        if (end == text + pos) return false;
+        *out = v;
+        pos = end - text;
+        return true;
+    }
+    int e = 0;
+    if (p < len && (text[p] == 'e' || text[p] == 'E')) {
+        long q = p + 1;
+        bool en = false, has = false;
+        if (q < len && (text[q] == '+' || text[q] == '-')) {
+            en = text[q] == '-';
+            ++q;
+        }
+        int ev = 0;
+        while (q < len && text[q] >= '0' && text[q] <= '9' && ev < 100000) {
+            ev = ev * 10 + (text[q] - '0');
+            has = true;
+            ++q;
+        }
+        if (has) {  // strtod only consumes the exponent if digits follow
+            e = en ? -ev : ev;
+            p = q;
+        }
+    }
+    const int net = e - frac;
+    if (too_long || m > (1ull << 53) || net < -22 || net > 22) {
+        char* end = nullptr;
+        const double v = std::strtod(text + pos, &end);
+        if (end == text + pos) return false;
+        *out = v;
+        pos = end - text;
+        return true;
+    }
+    const double mag =
+        net >= 0 ? static_cast<double>(m) * kPow10[net]
+                 : static_cast<double>(m) / kPow10[-net];
+    *out = neg ? -mag : mag;
+    pos = p;
+    return true;
 }
 
 }  // namespace
@@ -170,13 +264,8 @@ long pw_decode_dlpoly_frame(
         if (pos < len) ++pos;
     };
     auto parse_double = [&](double* out) -> bool {
-        skip_ws();
-        if (pos >= len) return false;
-        char* end = nullptr;
-        *out = std::strtod(text + pos, &end);
-        if (end == text + pos) return false;
-        pos = end - text;
-        return true;
+        // fast correctly-rounded path, strtod fallback (bitwise equal)
+        return parse_double_at(text, len, pos, out);
     };
 
     next_line();  // timestep line (already validated by the mapper)
@@ -248,13 +337,8 @@ long pw_decode_xyz_frame(
             ++pos;
     };
     auto parse_double = [&](double* out) -> bool {
-        skip_ws();
-        if (pos >= len) return false;
-        char* end = nullptr;
-        *out = std::strtod(text + pos, &end);
-        if (end == text + pos) return false;
-        pos = end - text;
-        return true;
+        // fast correctly-rounded path, strtod fallback (bitwise equal)
+        return parse_double_at(text, len, pos, out);
     };
     next_line();  // atom count (validated by the mapper)
     next_line();  // remark
@@ -467,13 +551,42 @@ namespace {
 // maxes over the FULL matrix (both orderings of each pair), so both
 // are evaluated here too (ulp-level addition-order differences).
 double frame_max_dim(const double* xyz, const double* vdw, long n) {
+    // Exact vdW-corrected maximum diameter with triangle-inequality
+    // pruning: the O(N^2) scan dominated single-core sweep decode.
+    // Sort atoms by centroid distance + radius descending; any pair
+    // whose bound s_i + s_j (+ margin for the bound's own rounding)
+    // cannot beat the current best is skipped — and the sort order
+    // makes every remaining j in the inner loop skippable too.  The
+    // winning pair is always evaluated with the exact same expression
+    // as the full scan (both operand orders, as the full i x j loop
+    // visits each pair twice), so the result is bitwise identical.
+    if (n <= 0) return 0.0;
+    double c[3] = {0.0, 0.0, 0.0};
+    for (long i = 0; i < n; ++i)
+        for (int k = 0; k < 3; ++k) c[k] += xyz[3 * i + k];
+    for (int k = 0; k < 3; ++k) c[k] /= static_cast<double>(n);
+    std::vector<std::pair<double, long>> order(
+        static_cast<size_t>(n));
+    for (long i = 0; i < n; ++i)
+        order[i] = {-(dist3(xyz + 3 * i, c) + vdw[i]), i};
+    std::sort(order.begin(), order.end());
+    const double margin = 1e-7;  // >> double rounding at Angstrom scale
     double best = 0.0;
-    for (long i = 0; i < n; ++i) {
-        const double* a = xyz + 3 * i;
+    for (long a = 0; a < n; ++a) {
+        const double si = -order[a].first;
+        if (si + si + margin <= best) break;  // nothing below can win
+        const long i = order[a].second;
+        const double* A = xyz + 3 * i;
         const double vi = vdw[i];
-        for (long j = 0; j < n; ++j) {
-            const double d = (dist3(a, xyz + 3 * j) + vi) + vdw[j];
-            if (d > best) best = d;
+        for (long b = a; b < n; ++b) {
+            const double sj = -order[b].first;
+            if (si + sj + margin <= best) break;  // sorted: rest worse
+            const long j = order[b].second;
+            const double dd = dist3(A, xyz + 3 * j);
+            const double d1 = (dd + vi) + vdw[j];
+            if (d1 > best) best = d1;
+            const double d2 = (dd + vdw[j]) + vi;
+            if (d2 > best) best = d2;
         }
     }
     return best;

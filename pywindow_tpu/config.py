@@ -147,6 +147,20 @@ class AnalysisConfig:
     opt_maxiter: int = 120
     #: iteration budget for the Nelder–Mead polish stages.
     nm_maxiter: int = 400
+    #: run the fused pipeline with reduced optimiser budgets (below) and
+    #: escalate outliers.  The vmapped while_loops pay the SLOWEST lane
+    #: of the whole batch: one frame needing 60 L-BFGS-B iterations
+    #: stalls thousands that need 14 (measured median on CC3 MD
+    #: frames).  With fast budgets, frames whose optimisers hit the cap
+    #: set a packed flag and are transparently re-run at the full
+    #: budgets by the host escalation (same pattern as max_windows /
+    #: open_cap_frac), so final results are identical to a full-budget
+    #: run — the cap only bounds the wasted lockstep iterations.
+    fast_budgets: bool = True
+    #: capped quasi-Newton budget under ``fast_budgets``.
+    fast_opt_maxiter: int = 40
+    #: capped Nelder–Mead budget under ``fast_budgets``.
+    fast_nm_maxiter: int = 120
 
     def __post_init__(self) -> None:
         if self.adjust <= 0 or self.increment <= 0 or self.increment2 <= 0:
@@ -155,6 +169,18 @@ class AnalysisConfig:
         if self.open_cap_frac <= 0:
             msg = "open_cap_frac must be positive (>= 1.0 disables)"
             raise ValueError(msg)
+
+
+def effective_budgets(cfg: AnalysisConfig) -> tuple[int, int]:
+    """(quasi-Newton, Nelder–Mead) iteration budgets the fused pipeline
+    actually runs with — the fast caps under ``cfg.fast_budgets``, the
+    full budgets otherwise (escalation re-runs)."""
+    if cfg.fast_budgets:
+        return (
+            min(cfg.opt_maxiter, cfg.fast_opt_maxiter),
+            min(cfg.nm_maxiter, cfg.fast_nm_maxiter),
+        )
+    return cfg.opt_maxiter, cfg.nm_maxiter
 
 
 DEFAULT_CONFIG = AnalysisConfig()

@@ -56,21 +56,30 @@ class FullAnalysis(NamedTuple):
     windows: WindowsResult
 
 
-def optimise_pore_centre(
+def optimise_pore_centre_res(
     mol: MolArrays, cfg: AnalysisConfig = DEFAULT_CONFIG
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The optimised pore centre (L-BFGS-B from the COM, +-pore_r box;
-    reference: utilities.py:400-426).
+    reference: utilities.py:400-426), plus the budget-capped flag.
 
     In float32 mode (TPU) a naive run stops ~0.13 Å off on plateau
     systems and seeds every window with the error, so the stage runs
     the symbolic-difference driver by default — float64 stopping
     behaviour at float32 speed (see :func:`pywindow_tpu.config.pore_opt_mode`).
+
+    ``capped`` is True when the (possibly fast, see
+    ``cfg.fast_budgets``) iteration budget stopped the optimiser —
+    the host escalation re-runs such molecules at the full budget.
     """
-    from pywindow_tpu.config import pore_opt_dtype, pore_opt_mode
+    from pywindow_tpu.config import (
+        effective_budgets,
+        pore_opt_dtype,
+        pore_opt_mode,
+    )
     from pywindow_tpu.ops.geometry import pore_stable_probe
     from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize_stable
 
+    opt_maxiter, _ = effective_budgets(cfg)
     mode = pore_opt_mode(mol.coords.dtype)
     omol = mol
     if mode == "promote":
@@ -94,27 +103,34 @@ def optimise_pore_centre(
 
         opt = lbfgsb_minimize_stable(
             pore_stable_probe(omol), f_abs, com, com - pore_r,
-            com + pore_r, maxiter=cfg.opt_maxiter,
+            com + pore_r, maxiter=opt_maxiter,
         )
-        return opt.x
+        return opt.x, opt.capped
 
     def f_neg(points):
         return -2.0 * clearance_field(points, omol)
 
     opt = lbfgsb_minimize(
-        f_neg, com, com - pore_r, com + pore_r, maxiter=cfg.opt_maxiter
+        f_neg, com, com - pore_r, com + pore_r, maxiter=opt_maxiter
     )
-    return opt.x.astype(mol.coords.dtype)
+    return opt.x.astype(mol.coords.dtype), opt.capped
+
+
+def optimise_pore_centre(
+    mol: MolArrays, cfg: AnalysisConfig = DEFAULT_CONFIG
+) -> jnp.ndarray:
+    """The optimised pore centre (see :func:`optimise_pore_centre_res`)."""
+    return optimise_pore_centre_res(mol, cfg)[0]
 
 
 def pore_diameter_opt(
     mol: MolArrays, cfg: AnalysisConfig = DEFAULT_CONFIG
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Optimised pore: L-BFGS-B mimic from the COM within +-pore_r bounds
-    (reference: utilities.py:400-426)."""
-    centre = optimise_pore_centre(mol, cfg)
+    (reference: utilities.py:400-426).  Returns (d, atom, centre, capped)."""
+    centre, capped = optimise_pore_centre_res(mol, cfg)
     d, atom = pore_diameter(mol, com=centre)
-    return d, atom, centre
+    return d, atom, centre, capped
 
 
 def full_analysis_device(
@@ -145,12 +161,13 @@ def full_analysis_device(
 
     pd, pd_atom = pore_diameter(mol, com=com)
     pv = sphere_volume(pd / 2.0)
-    pod, pod_atom, pod_centre = pore_diameter_opt(mol, cfg)
+    pod, pod_atom, pod_centre, pore_capped = pore_diameter_opt(mol, cfg)
     pov = sphere_volume(pod / 2.0)
 
     wins = find_windows(
         mol, n_points_windows, l1, l2, cfg, pore_centre=pod_centre
     )
+    wins = wins._replace(opt_capped=wins.opt_capped | pore_capped)
 
     return FullAnalysis(
         molecular_weight=mw,
@@ -175,7 +192,7 @@ def pack_results(res: FullAnalysis) -> jnp.ndarray:
 
     Crossing device->host as a single array matters: fetching the ~19
     separate leaves costs a round-trip each (over a tunneled TPU that is
-    ~100 ms per leaf).  Layout: 14 scalars, COM(3), opt centre(3), then
+    ~100 ms per leaf).  Layout: 15 scalars, COM(3), opt centre(3), then
     per-window diameters/valid/refine_failed/centres for ``W`` slots.
     """
     w = res.windows
@@ -198,6 +215,7 @@ def pack_results(res: FullAnalysis) -> jnp.ndarray:
                     w.any_open.astype(f),
                     w.n_clusters.astype(f),
                     w.open_overflow.astype(f),
+                    jnp.asarray(w.opt_capped).astype(f),
                 ]
             ),
             res.centre_of_mass,
@@ -213,16 +231,16 @@ def pack_results(res: FullAnalysis) -> jnp.ndarray:
 def packed_size(max_windows: int) -> int:
     """Length of the packed per-molecule result vector (scalars + window
     slots) used for the single device→host fetch per batch."""
-    return 20 + 6 * max_windows
+    return 21 + 6 * max_windows
 
 
 def unpack_results(flat: np.ndarray, max_windows: int) -> FullAnalysis:
     """Host-side inverse of :func:`pack_results` (numpy arrays)."""
     wnd = max_windows
-    s = flat[:14]
-    com = flat[14:17]
-    centre = flat[17:20]
-    off = 20
+    s = flat[:15]
+    com = flat[15:18]
+    centre = flat[18:21]
+    off = 21
     diam = flat[off : off + wnd]
     valid = flat[off + wnd : off + 2 * wnd] > 0.5
     failed = flat[off + 2 * wnd : off + 3 * wnd] > 0.5
@@ -235,6 +253,7 @@ def unpack_results(flat: np.ndarray, max_windows: int) -> FullAnalysis:
         n_clusters=np.int32(round(float(s[12]))),
         refine_failed=failed,
         open_overflow=np.bool_(s[13] > 0.5),
+        opt_capped=np.bool_(s[14] > 0.5),
     )
     return FullAnalysis(
         molecular_weight=s[0],
@@ -358,6 +377,14 @@ def analyze(
                 cfg, open_cap_frac=2.0 * cfg.open_cap_frac
             )
             props.pop("_window_cap_saturated", None)
+            props.pop("_opt_budget_exceeded", None)
+            continue
+        # escalate: an optimiser hit the fast budget — re-run at the
+        # full budgets (only meaningful once; a full-budget run that
+        # still caps matches scipy's own maxiter stop)
+        if props.pop("_opt_budget_exceeded", False) and cfg.fast_budgets:
+            cfg = dataclasses.replace(cfg, fast_budgets=False)
+            props.pop("_window_cap_saturated", None)
             continue
         if (
             not props.pop("_window_cap_saturated", False)
@@ -435,4 +462,89 @@ def to_properties_dict(res: FullAnalysis) -> dict:
         # points pop this marker and re-run with a doubled
         # cfg.open_cap_frac (>= 1.0 == the uncompacted full sweep).
         out["_open_cap_overflow"] = True
+    if bool(np.asarray(res.windows.opt_capped)):
+        # an optimiser stage hit the fast iteration budget: the result
+        # could differ from a full-budget run.  Host entry points pop
+        # this marker and re-run with cfg.fast_budgets=False.
+        out["_opt_budget_exceeded"] = True
+    return out
+
+
+def to_properties_dicts_bulk(
+    flat: np.ndarray, max_windows: int
+) -> list[dict]:
+    """Batch equivalent of ``to_properties_dict(unpack_results(row))``
+    for a whole (B, packed) result block.
+
+    One ``.tolist()`` converts the block to plain python floats up
+    front, so the per-frame dict construction touches no numpy scalars
+    — per-frame numpy indexing/``float()`` extraction dominated the
+    host side of big trajectory sweeps (this is ~6x faster and value-
+    identical; see tests/test_validation_suite.py bulk parity test).
+    """
+    w = max_windows
+    dtype = flat.dtype
+    off = 21
+    rows = flat.tolist()
+    out: list[dict] = []
+    for r in rows:
+        n_clusters = int(round(r[12]))
+        if not r[11] > 0.5:  # any_open
+            windows: dict = {"diameters": None, "centre_of_mass": None}
+        else:
+            diam = r[off : off + w]
+            valid = r[off + w : off + 2 * w]
+            failed = r[off + 2 * w : off + 3 * w]
+            cent = r[off + 3 * w : off + 6 * w]
+            dsel = [d for d, v in zip(diam, valid) if v > 0.5]
+            csel = [
+                cent[3 * k : 3 * k + 3]
+                for k in range(w)
+                if valid[k] > 0.5
+            ]
+            windows = {
+                "diameters": np.array(dsel, dtype=dtype),
+                "centre_of_mass": np.array(
+                    csel, dtype=dtype
+                ).reshape(len(csel), 3),
+            }
+            if any(f > 0.5 for f in failed):
+                logger.warning(
+                    "one of the analysed windows has returned as None "
+                    "(refinement failed); see manual"
+                )
+            if any(d < 0 for d in dsel):
+                logger.warning(
+                    "one of the analysed windows has a vdW-corrected "
+                    "diameter smaller than 0; see manual"
+                )
+        props = {
+            "centre_of_mass": np.array(r[15:18], dtype=dtype),
+            "maximum_diameter": {
+                "diameter": r[1],
+                "atom_1": int(round(r[7])),
+                "atom_2": int(round(r[8])),
+            },
+            "average_diameter": r[2],
+            "pore_diameter": {
+                "diameter": r[3],
+                "atom": int(round(r[9])),
+            },
+            "pore_volume": r[4],
+            "pore_diameter_opt": {
+                "diameter": r[5],
+                "atom_1": int(round(r[10])),
+                "centre_of_mass": np.array(r[18:21], dtype=dtype),
+            },
+            "pore_volume_opt": r[6],
+            "windows": windows,
+            "molecular_weight": r[0],
+        }
+        if n_clusters >= w:
+            props["_window_cap_saturated"] = True
+        if r[13] > 0.5:
+            props["_open_cap_overflow"] = True
+        if r[14] > 0.5:
+            props["_opt_budget_exceeded"] = True
+        out.append(props)
     return out

@@ -548,7 +548,7 @@ def _cauchy(x, g, lower, upper, bmat, theta, epsmch):
             jnp.where(freeze, t_old, t_next),
         )
 
-    init = (
+    carry = (
         jnp.zeros_like(x),
         d0,
         moving0,
@@ -556,7 +556,13 @@ def _cauchy(x, g, lower, upper, bmat, theta, epsmch):
         jnp.zeros_like(x),
         jnp.asarray(0.0, dtype),
     )
-    _, _, moving, _, xcp_z, _ = jax.lax.fori_loop(0, d_dim + 1, seg, init)
+    # unrolled: d_dim <= 3, and a lax.fori_loop here lowers to a nested
+    # hardware while inside every optimiser trip — pure loop-entry
+    # latency on the critical chain (the segment count is static and
+    # tiny).  Identical op sequence, no while.
+    for _ in range(d_dim + 1):
+        carry = seg(0, carry)
+    _, _, moving, _, xcp_z, _ = carry
     return xcp_z, moving
 
 
@@ -617,6 +623,12 @@ class LbfgsbResult(NamedTuple):
     fun: jnp.ndarray
     nit: jnp.ndarray
     converged: jnp.ndarray
+    #: stopped by the iteration/trips budget, not by any of scipy's own
+    #: termination conditions — the result would differ with a larger
+    #: ``maxiter``.  Drives the fast-budget escalation retry (see
+    #: AnalysisConfig.fast_budgets).  Python ``False`` default keeps
+    #: import free of backend init.
+    capped: jnp.ndarray | bool = False
 
 
 def lbfgsb_minimize(
@@ -799,8 +811,13 @@ def lbfgsb_minimize(
         cond, body, state0
     )
     pg0 = x - jnp.clip(x - g, lower, upper)
-    conv = conv | (jnp.max(jnp.abs(pg0)) <= pgtol)
-    return LbfgsbResult(x=x, fun=fx, nit=it, converged=conv)
+    pg_small = jnp.max(jnp.abs(pg0)) <= pgtol
+    conv = conv | pg_small
+    # exit with neither a scipy termination (done: convergence or
+    # abnormal line-search end) nor a small projected gradient means
+    # the it/trips budget stopped us — a larger maxiter would continue.
+    capped = ~done & ~pg_small
+    return LbfgsbResult(x=x, fun=fx, nit=it, converged=conv, capped=capped)
 
 
 def _stable_fd_h(p, lower, upper, fd_step):
@@ -1026,5 +1043,9 @@ def lbfgsb_minimize_stable(
         cond, body, state0
     )
     pg0 = x - jnp.clip(x - g, lower, upper)
-    conv = conv | (jnp.max(jnp.abs(pg0)) <= pgtol)
-    return LbfgsbResult(x=x, fun=fx_abs, nit=it, converged=conv)
+    pg_small = jnp.max(jnp.abs(pg0)) <= pgtol
+    conv = conv | pg_small
+    capped = ~done & ~pg_small  # budget-stopped (see lbfgsb_minimize)
+    return LbfgsbResult(
+        x=x, fun=fx_abs, nit=it, converged=conv, capped=capped
+    )

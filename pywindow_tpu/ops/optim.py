@@ -53,8 +53,11 @@ def nelder_mead(
     fatol: float = 1e-12,
     maxiter: int = 400,
     f_batch: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Minimise ``f`` over R^d with the scipy fmin update rules.
+
+    Returns ``(x_best, f_best, capped)``; ``capped`` is True when the
+    iteration budget stopped the search before convergence.
 
     ``lower``/``upper`` clip every proposed vertex into the box (the
     reference enforces bounds through L-BFGS-B; clipping reproduces the
@@ -169,8 +172,11 @@ def nelder_mead(
         sim, fsim, it = state
         return (it < maxiter) & ~converged(sim, fsim)
 
-    sim, fsim, _ = jax.lax.while_loop(cond, body, (sim, fsim, 0))
-    return sim[0], fsim[0]
+    sim, fsim, it = jax.lax.while_loop(cond, body, (sim, fsim, 0))
+    # budget-stopped (a larger maxiter would keep iterating): drives the
+    # fast-budget escalation retry (see AnalysisConfig.fast_budgets)
+    capped = (it >= maxiter) & ~converged(sim, fsim)
+    return sim[0], fsim[0], capped
 
 
 def brute_then_polish(
@@ -182,8 +188,11 @@ def brute_then_polish(
     xatol: float = 1e-4,
     fatol: float = 1e-4,
     f_batch: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dense 2-D grid minimisation followed by a Nelder-Mead polish.
+
+    Returns ``(x_best, f_best, capped)`` — ``capped`` True when the
+    polish stopped on its iteration budget rather than convergence.
 
     Mirrors ``scipy.optimize.brute(..., Ns=ns, finish=fmin)``
     (reference: utilities.py:1312-1317): the grid is ``linspace`` with

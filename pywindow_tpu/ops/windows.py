@@ -56,6 +56,11 @@ class WindowsResult(NamedTuple):
     open_overflow: jnp.ndarray  # scalar bool: open rays exceeded the
     #                             compaction cap (host retries with a
     #                             doubled cfg.open_cap_frac)
+    opt_capped: jnp.ndarray | bool = False  # scalar bool: an optimiser
+    #                             stage of the pore centre or a REAL
+    #                             window slot stopped on its fast
+    #                             iteration budget (host retries with
+    #                             cfg.fast_budgets=False)
 
 
 def open_cap(n_points: int, frac: float) -> int | None:
@@ -144,14 +149,19 @@ def _window_refine(
     ok: jnp.ndarray,
     new_z: jnp.ndarray,
     cfg: AnalysisConfig,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Refine one window from its widest sampling ray.
 
-    Returns (diameter, centre (3,), ok).  ``mol`` is the pore-centred
-    molecule; ``vector`` the cluster's widest ray (a spiral point);
-    ``ok``/``new_z`` come from the fine re-sampling of that ray (done
-    for all window slots in one batched sweep by the caller).
+    Returns (diameter, centre (3,), ok, capped).  ``mol`` is the
+    pore-centred molecule; ``vector`` the cluster's widest ray (a
+    spiral point); ``ok``/``new_z`` come from the fine re-sampling of
+    that ray (done for all window slots in one batched sweep by the
+    caller).  ``capped`` is True when any optimiser stage stopped on
+    its (possibly fast, cfg.fast_budgets) iteration budget.
     """
+    from pywindow_tpu.config import effective_budgets
+
+    opt_maxiter, nm_maxiter = effective_budgets(cfg)
     dtype = vector.dtype
     a1, a2 = _octant_angles(vector)
     rz = _rot_z(a1)
@@ -182,9 +192,10 @@ def _window_refine(
         jnp.zeros((1,), dtype),
         z_lower[None].astype(dtype),
         jnp.asarray([1e10], dtype),
-        maxiter=cfg.opt_maxiter,
+        maxiter=opt_maxiter,
     )
     z_star = zres.x[0]
+    capped = zres.capped
 
     # --- xy brute grid + Nelder-Mead polish (utilities.py:1307-1317) --
     def f_xy(xy):  # (2,) -> scalar, negative diameter (maximise)
@@ -198,14 +209,15 @@ def _window_refine(
         return -2.0 * clearance_field(pts, rmol)
 
     half = wd0 / 2.0
-    xy_star, _ = brute_then_polish(
+    xy_star, _, nm_capped = brute_then_polish(
         f_xy,
         jnp.stack([-half, -half]),
         jnp.stack([half, half]),
         ns=cfg.brute_ns,
-        maxiter=cfg.nm_maxiter,
+        maxiter=nm_maxiter,
         f_batch=f_xy_batch,
     )
+    capped = capped | nm_capped
 
     if cfg.z_second_mini:
 
@@ -224,9 +236,10 @@ def _window_refine(
             zres.x,
             z_lower[None].astype(dtype),
             jnp.asarray([1e10], dtype),
-            maxiter=cfg.opt_maxiter,
+            maxiter=opt_maxiter,
         )
         z_star = zres2.x[0]
+        capped = capped | zres2.capped
 
     centre_local = jnp.stack([xy_star[0], xy_star[1], z_star])
     diameter = 2.0 * clearance_field(centre_local[None, :], rmol)[0]
@@ -235,7 +248,7 @@ def _window_refine(
     centre = centre_local + jnp.asarray([0.0, 0.0, 1.0], dtype) * new_z
     centre = jnp.matmul(_rot_y(-a2), centre, precision=hi)
     centre = jnp.matmul(_rot_z(-a1), centre, precision=hi)
-    return diameter, centre, ok
+    return diameter, centre, ok, capped
 
 
 def find_windows(
@@ -261,12 +274,13 @@ def find_windows(
     pd_com, _ = pore_diameter(mol, com=initial_com)
     has_pore = pd_com > 0.0
 
+    pore_capped = jnp.asarray(False)
     if pore_centre is not None and cfg.pore_opt:
         centre = pore_centre
     elif cfg.pore_opt:
-        from pywindow_tpu.ops.analysis import optimise_pore_centre
+        from pywindow_tpu.ops.analysis import optimise_pore_centre_res
 
-        centre = optimise_pore_centre(mol, cfg)
+        centre, pore_capped = optimise_pore_centre_res(mol, cfg)
     else:
         centre = initial_com
 
@@ -343,18 +357,21 @@ def find_windows(
     refined = rays.path_analysis(vectors, shifted, cfg.increment2, l2)
 
     def per_cluster(vector, r_ok, r_dist, ex):
-        diameter, centre_local, ok = _window_refine(
+        diameter, centre_local, ok, capped = _window_refine(
             shifted, vector, r_ok, r_dist, cfg
         )
-        return diameter, centre_local, ex, ex & ~ok
+        return diameter, centre_local, ex, ex & ~ok, capped
 
     # vmap (not lax.map): the refinement optimisers are tiny per-lane,
     # so running all window slots lockstep beats a serial scan ~10x.
-    diams, centres, exists, failed = jax.vmap(per_cluster)(
+    diams, centres, exists, failed, w_capped = jax.vmap(per_cluster)(
         vectors, refined.ok, refined.dist, exists
     )
     valid = exists & ~failed
     centres = centres + centre[None, :]
+    # budget escalation: only REAL window slots count (fallback lanes
+    # refine a throwaway ray; their optimiser behaviour is irrelevant)
+    opt_capped = pore_capped | jnp.any(exists & w_capped)
     return WindowsResult(
         diameters=jnp.where(valid, diams, jnp.nan),
         centers=jnp.where(valid[:, None], centres, jnp.nan),
@@ -363,4 +380,5 @@ def find_windows(
         n_clusters=n_clusters,
         refine_failed=failed,
         open_overflow=overflow,
+        opt_capped=opt_capped,
     )

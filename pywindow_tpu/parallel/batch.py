@@ -21,8 +21,7 @@ from pywindow_tpu.ops.analysis import (
     max_dim_bound,
     pack_results,
     static_sizes,
-    to_properties_dict,
-    unpack_results,
+    to_properties_dicts_bulk,
 )
 from pywindow_tpu.ops.encoding import MolArrays, encode_batch
 from pywindow_tpu.parallel.mesh import (
@@ -95,14 +94,17 @@ def max_safe_batch(
     """Largest batch that keeps the pipeline's HBM temps in budget.
 
     With the ray sweeps fused into Pallas kernels (no (B, P*L, N)
-    products) and the brute-grid gather fixed, the measured per-frame
-    temp model is dominated by the DBSCAN (P, P) label-propagation
-    buffers plus the window refinement's live (W, L2, N_pad) sets:
+    products), the brute-grid gather fixed, and the open-ray compaction
+    shrinking the clustering to K = open_cap(P) slots, the per-frame
+    temp model is the compacted DBSCAN buffers + the (K, P) one-hot
+    compaction matrix + the window refinement's live (W, L2, N_pad)
+    sets:
 
-        per_frame ~ 4 bytes * (2 * P^2 + W * L2 * N_pad)
+        per_frame ~ 4 bytes * (1.9 * K^2 + K * P + 1.2 * W * L2 * N_pad)
 
-    (calibrated on CC3 6.46 MB / MIBQAR-REYMAL 12.82 MB per frame via
-    ``compiled.memory_analysis()``; coefficients padded ~15% here).
+    (recalibrated post-compaction on CC3: model 3.446 MB/frame vs
+    ``compiled.memory_analysis()`` 3.441 MB; B=4320 runs on a 16 GiB
+    v5e, B=5760 OOMs, model cap 4360).
     """
     from pywindow_tpu.config import pad_multiple
     from pywindow_tpu.ops.encoding import round_up
@@ -114,7 +116,7 @@ def max_safe_batch(
     # the (K, P) one-hot compaction matrix)
     k = open_cap(n_win, cfg.open_cap_frac) or n_win
     per_frame = 4.0 * (
-        2.2 * k * k + k * n_win + 1.2 * cfg.max_windows * l2 * n_pad
+        1.9 * k * k + k * n_win + 1.2 * cfg.max_windows * l2 * n_pad
     )
     return max(1, int(hbm_budget // max(int(per_frame), 1)))
 
@@ -209,10 +211,7 @@ def collect_batch(handle) -> list[dict]:
 
     flat_dev, b, cfg, _ref = handle
     flat = np.asarray(flat_dev)  # ONE device->host transfer
-    results = [
-        to_properties_dict(unpack_results(flat[i], cfg.max_windows))
-        for i in range(b)
-    ]
+    results = to_properties_dicts_bulk(flat[:b], cfg.max_windows)
     METRICS.count("molecules_analysed", b)
     METRICS.count(
         "windows_found",
@@ -313,11 +312,16 @@ def sweep_uniform(
     maxd_per_frame: np.ndarray,
     on_batch,
     cfg: AnalysisConfig = DEFAULT_CONFIG,
-    batch_size: int = 64,
+    batch_size: int | None = None,
     reference_max_diameter: float | None = None,
     exact_sizes: bool = False,
 ) -> None:
     """Full-analysis sweep over frames sharing ONE element list.
+
+    ``batch_size=None`` auto-sizes each group's chunk to the largest
+    HBM-safe batch (``max_safe_batch``): the pipeline's while-loop
+    latency chains amortise better at large B (measured +13% going
+    1440 -> 4320 on CC3), so bigger is better until HBM runs out.
 
     The whole-sweep fast path behind ``Trajectory.analysis_batched``:
     ``coords`` is (F, N, 3) float64 (e.g. from the native batch
@@ -388,7 +392,9 @@ def sweep_uniform(
             float(np.max(maxd_per_frame[idxs])), cfg
         )
         l1, l2 = max(l1, l1_b), max(l2, l2_b)
-        c = max(1, min(int(batch_size), max_safe_batch(n_pad, ref, cfg)))
+        safe = max_safe_batch(n_pad, ref, cfg)
+        c = safe if batch_size is None else min(int(batch_size), safe)
+        c = max(1, min(c, len(idxs)))
         if shard:
             c = pad_batch_to_devices(c, n_dev)
         fields_dev = tuple(
@@ -470,6 +476,23 @@ def retry_saturated_windows(
         )
         for i, r in zip(over, redo):
             # the escalated run handled its own saturation/overflow
+            results[i] = r
+
+    budget = [
+        i
+        for i, r in enumerate(results)
+        if r.pop("_opt_budget_exceeded", False)
+    ]
+    if budget and cfg.fast_budgets:
+        # full optimiser budgets for the stray lanes only: the fused
+        # batch runs capped (the vmapped while_loops pay the SLOWEST
+        # lane), and the few frames that genuinely need more
+        # iterations re-run here at full budget.
+        cfg2 = dataclasses.replace(cfg, fast_budgets=False)
+        redo = analyze_batch(
+            [systems[i] for i in budget], cfg2, **analyze_kwargs
+        )
+        for i, r in zip(budget, redo):
             results[i] = r
 
     idxs = [

@@ -217,6 +217,7 @@ def analysis_batched_distributed(
 
     saturated: list[int] = []
     overflowed: list[int] = []
+    budget_capped: list[int] = []
     for p in range(n_procs):
         shard = shards[p]
         for k, frame in enumerate(shard):
@@ -227,6 +228,8 @@ def analysis_batched_distributed(
             )
             if props.pop("_open_cap_overflow", False):
                 overflowed.append(frame)
+            if props.pop("_opt_budget_exceeded", False) and cfg.fast_budgets:
+                budget_capped.append(frame)
             if props.pop("_window_cap_saturated", False):
                 saturated.append(frame)
             props.pop("molecular_weight", None)
@@ -247,6 +250,21 @@ def analysis_batched_distributed(
             ),
         )
         saturated = [f for f in saturated if f not in set(overflowed)]
+        budget_capped = [
+            f for f in budget_capped if f not in set(overflowed)
+        ]
+    if budget_capped:
+        # full optimiser budgets for the stray frames only
+        analysis_batched_distributed(
+            traj,
+            frames=sorted(set(budget_capped)),
+            swap_atoms=swap_atoms,
+            forcefield=forcefield,
+            override=True,
+            reference_max_diameter=ref,
+            cfg=dataclasses.replace(cfg, fast_budgets=False),
+        )
+        saturated = [f for f in saturated if f not in set(budget_capped)]
     if saturated and cfg.max_windows < MAX_WINDOWS_CEILING:
         analysis_batched_distributed(
             traj,

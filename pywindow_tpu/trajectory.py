@@ -333,7 +333,7 @@ class Trajectory:
     def analysis_batched(
         self,
         frames="all",
-        batch_size: int = 64,
+        batch_size: int | None = None,
         override: bool = False,
         modular: bool = False,
         rebuild: bool = False,
@@ -347,7 +347,11 @@ class Trajectory:
     ) -> None:
         """Device-batched analysis: frames are decoded on the host and
         swept through the fused pipeline ``batch_size`` at a time,
-        sharded across all available devices.
+        sharded across all available devices.  ``batch_size=None``
+        (default) auto-sizes to the largest HBM-safe device batch on
+        the fast uniform path (big batches amortise the optimiser
+        latency chains; see parallel.batch.max_safe_batch) and to a
+        host-memory-friendly 256 frames on the generic path.
 
         This is the TPU-native replacement for the reference's
         ``ncpus``-process pool (reference: trajectory.py:553-586).
@@ -402,6 +406,9 @@ class Trajectory:
                     exact_sizes=exact_sizes,
                 )
                 return
+
+        if batch_size is None:
+            batch_size = 256  # generic path: bounds decoded-frame memory
 
         if exact_sizes:
             # bucket frames by their exact per-frame sampling sizes and

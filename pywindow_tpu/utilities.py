@@ -205,9 +205,22 @@ def find_windows(elements, coordinates, processes=None, adjust=1.0,
     mol = _encode(elements, coordinates)
     maxd = max_dim_host(np.asarray(elements), np.asarray(coordinates))
     n_win, _, l1, l2 = static_sizes(maxd, cfg)
-    res = jax.device_get(
-        _compiled_find_windows(n_win, l1, l2, cfg)(mol)
-    )
+    while True:
+        res = jax.device_get(
+            _compiled_find_windows(n_win, l1, l2, cfg)(mol)
+        )
+        # same escalations as ops.analysis.analyze: compaction-cap
+        # overflow doubles the open fraction; a fast-budget cap re-runs
+        # at the full optimiser budgets
+        if bool(res.open_overflow):
+            cfg = dataclasses.replace(
+                cfg, open_cap_frac=2.0 * cfg.open_cap_frac
+            )
+            continue
+        if bool(np.asarray(res.opt_capped)) and cfg.fast_budgets:
+            cfg = dataclasses.replace(cfg, fast_budgets=False)
+            continue
+        break
     if not bool(res.any_open):
         return None
     valid = np.asarray(res.valid)
@@ -736,13 +749,19 @@ def window_analysis(
     )
     if not bool(np.asarray(refined.ok)[0]):
         return None
-    diameter, centre, ok = _window_refine(
-        mol,
-        jnp.asarray(vector),
-        refined.ok[0],
-        refined.dist[0],
-        cfg,
-    )
+    while True:
+        diameter, centre, ok, capped = _window_refine(
+            mol,
+            jnp.asarray(vector),
+            refined.ok[0],
+            refined.dist[0],
+            cfg,
+        )
+        if bool(np.asarray(capped)) and cfg.fast_budgets:
+            # fast-budget escalation: re-run at the full budgets
+            cfg = dataclasses.replace(cfg, fast_budgets=False)
+            continue
+        break
     if not bool(ok):
         return None
     return float(diameter), np.asarray(centre)

@@ -97,7 +97,7 @@ def stage_run(elements, coords, dtype):
         refined = rays.path_analysis(
             vec[None, :], shifted, cfg.increment2, l2
         )
-        d, c, ok = _window_refine(
+        d, c, ok, _capped = _window_refine(
             shifted, jnp.asarray(vec), refined.ok[0], refined.dist[0], cfg
         )
         out.append(

@@ -38,12 +38,30 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/pw_trace")
     args = ap.parse_args()
 
-    sysd = Input().load_file(args.path)
-    elements, coords = sysd["elements"], sysd["coordinates"]
-    maxd = max_dim_host(elements, coords)
-    n_win, n_avg, l1, l2 = static_sizes(maxd, DEFAULT_CONFIG)
-    print(f"P_windows={n_win} P_avg={n_avg} l1={l1} l2={l2}")
-    mols = encode_batch([(elements, coords)] * args.batch)
+    if "HISTORY" in os.path.basename(args.path):
+        # real varying trajectory frames: lane divergence in the
+        # optimiser while-loops makes these ~40% slower than a
+        # replicated single frame — profile what production pays
+        import pywindow_tpu as pw
+
+        traj = pw.DLPOLY(args.path)
+        el, co, maxd_pf = traj._sweep_decode_native(
+            list(range(traj.no_of_frames)), {"he": "H"}, "OPLS"
+        )
+        maxd = float(max(maxd_pf))
+        systems = [
+            (el, co[i % len(co)]) for i in range(args.batch)
+        ]
+        n_win, n_avg, l1, l2 = static_sizes(maxd, DEFAULT_CONFIG)
+        print(f"P_windows={n_win} P_avg={n_avg} l1={l1} l2={l2}")
+        mols = encode_batch(systems)
+    else:
+        sysd = Input().load_file(args.path)
+        elements, coords = sysd["elements"], sysd["coordinates"]
+        maxd = max_dim_host(elements, coords)
+        n_win, n_avg, l1, l2 = static_sizes(maxd, DEFAULT_CONFIG)
+        print(f"P_windows={n_win} P_avg={n_avg} l1={l1} l2={l2}")
+        mols = encode_batch([(elements, coords)] * args.batch)
     step = _compiled_batch_analysis(n_win, n_avg, l1, l2, DEFAULT_CONFIG)
     np.asarray(step(mols))  # warm
     t0 = time.perf_counter()

@@ -266,7 +266,7 @@ def test_nelder_mead_matches_scipy_fmin():
         ) * 0.1
 
     x0 = jnp.array([0.0, 0.0])
-    x_my, f_my = nelder_mead(f, x0, maxiter=400)
+    x_my, f_my, _ = nelder_mead(f, x0, maxiter=400)
 
     def f_np(x):
         return (x[0] - 1.3) ** 2 + 3.0 * (x[1] + 0.7) ** 2 + np.sin(
@@ -281,7 +281,7 @@ def test_nelder_mead_respects_bounds():
     def f(x):
         return jnp.sum((x - 5.0) ** 2)  # unconstrained min outside box
 
-    x, _ = nelder_mead(
+    x, _, _ = nelder_mead(
         f,
         jnp.zeros(2),
         lower=jnp.array([-1.0, -1.0]),
@@ -300,11 +300,11 @@ def test_brute_then_polish_finds_global_in_box():
             + 0.1 * (x[1] - 0.5) ** 2
         )
 
-    x, fx = brute_then_polish(
+    x, fx, _ = brute_then_polish(
         f, jnp.array([-2.0, -2.0]), jnp.array([2.0, 2.0]), ns=20
     )
     # grid + polish must beat plain local NM from origin
-    _, f_local = nelder_mead(f, jnp.zeros(2), maxiter=300)
+    _, f_local, _ = nelder_mead(f, jnp.zeros(2), maxiter=300)
     assert float(fx) <= float(f_local) + 1e-9
 
 

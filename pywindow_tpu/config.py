@@ -75,6 +75,39 @@ def pore_opt_mode(dtype) -> str:
     return "classic"
 
 
+def window_opt_mode(dtype) -> str:
+    """How the per-window refinement optimisers (z L-BFGS-B, xy
+    brute + Nelder–Mead) consume the clearance objective.
+
+    - ``"stable"`` (float32 default): all optimiser *decisions* run on
+      cancellation-free clearance differences — the z stage through the
+      symbolic-difference L-BFGS-B driver (scipy's ``h = 1e-8`` FD step
+      works verbatim in f32), the xy stage by evaluating every grid /
+      simplex candidate as ``f(p) - f(anchor)`` via
+      :func:`pywindow_tpu.ops.geometry.clearance_diff` (Nelder–Mead is
+      translation-invariant in ``f``, so the update path is identical
+      to an exact-arithmetic run on the same landscape).  This is what
+      keeps plateau systems (NUXHIZ-class) from landing one kink over:
+      plain f32 FD gradients at ``|f| ~ 8`` carry ~1e-6 cancellation
+      noise and push the z/xy stop to a neighbouring ridge point.
+    - ``"classic"`` (float64 default): plain drivers in the pipeline
+      dtype — the scipy-parity golden path.
+
+    ``PYWINDOW_TPU_WINDOW_OPT`` overrides the choice.
+    """
+    env = os.environ.get("PYWINDOW_TPU_WINDOW_OPT")
+    if env:
+        if env not in ("classic", "stable"):
+            msg = (
+                f"PYWINDOW_TPU_WINDOW_OPT={env!r}: expected classic|stable"
+            )
+            raise ValueError(msg)
+        return env
+    if np.dtype(dtype) == np.float32:
+        return "stable"
+    return "classic"
+
+
 def pore_opt_dtype(dtype) -> np.dtype:
     """Dtype for the pore-centre stage under ``pore_opt_mode() == "promote"``:
     float64 whenever representable (x64 enabled), else the pipeline dtype."""

@@ -36,11 +36,12 @@ from pywindow_tpu.ops.encoding import MolArrays
 from pywindow_tpu.ops.geometry import (
     BIG,
     center_of_mass,
+    clearance_diff,
     clearance_field,
     max_dim,
     pore_diameter,
 )
-from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize
+from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize, lbfgsb_minimize_stable
 from pywindow_tpu.ops.optim import brute_then_polish
 
 
@@ -143,6 +144,37 @@ def _rot_y(angle: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _z_stable_probe(rmol: MolArrays, xy: jnp.ndarray):
+    """Symbolic-difference evaluator of the window z objective.
+
+    ``f(z) = 2 * clearance((xy_0, xy_1, z))`` on the rotated molecule
+    (reference: ``optimise_z``, utilities.py:1174-1188).  Returns the
+    ``(probe, f_abs)`` pair for
+    :func:`pywindow_tpu.ops.lbfgsb.lbfgsb_minimize_stable`: deltas and
+    FD numerators go through :func:`clearance_diff`, so scipy's
+    ``h = 1e-8`` step and the line-search decrease tests work verbatim
+    in float32.
+    """
+    dtype = rmol.coords.dtype
+    ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+
+    def embed(zv):  # (1,) -> (3,)
+        return jnp.stack([xy[0], xy[1], zv[0]])
+
+    def probe(zv, disp, h):
+        x3 = embed(zv)
+        dd = disp[0] * ez
+        delta = 2.0 * clearance_diff(x3, dd[None, :], rmol)[0]
+        p3 = x3 + dd
+        dprobe = 2.0 * clearance_diff(p3, h[:, None] * ez[None, :], rmol)
+        return delta, dprobe / h
+
+    def f_abs(zv):
+        return 2.0 * clearance_field(embed(zv)[None, :], rmol)[0]
+
+    return probe, f_abs
+
+
 def _window_refine(
     mol: MolArrays,
     vector: jnp.ndarray,
@@ -159,10 +191,11 @@ def _window_refine(
     caller).  ``capped`` is True when any optimiser stage stopped on
     its (possibly fast, cfg.fast_budgets) iteration budget.
     """
-    from pywindow_tpu.config import effective_budgets
+    from pywindow_tpu.config import effective_budgets, window_opt_mode
 
     opt_maxiter, nm_maxiter = effective_budgets(cfg)
     dtype = vector.dtype
+    stable = window_opt_mode(dtype) == "stable"
     a1, a2 = _octant_angles(vector)
     rz = _rot_z(a1)
     ry = _rot_y(a2)
@@ -178,35 +211,66 @@ def _window_refine(
     wd0 = 2.0 * clearance_field(jnp.zeros((1, 3), dtype), rmol)[0]
 
     # --- z minimisation (reference: utilities.py:1299-1305) -----------
-    def f_z(zs):  # (K, 1) -> (K,)
-        pts = jnp.concatenate(
-            [jnp.zeros((zs.shape[0], 2), dtype), zs], axis=-1
-        )
-        return 2.0 * clearance_field(pts, rmol)
-
     z_lower = jnp.where(
         jnp.asarray(cfg.lb_z), -new_z, jnp.asarray(-1e10, dtype)
     )
-    zres = lbfgsb_minimize(
-        f_z,
-        jnp.zeros((1,), dtype),
-        z_lower[None].astype(dtype),
-        jnp.asarray([1e10], dtype),
-        maxiter=opt_maxiter,
-    )
+    z0 = jnp.zeros((1,), dtype)
+    z_up = jnp.asarray([1e10], dtype)
+    if stable:
+        probe, f_abs = _z_stable_probe(rmol, jnp.zeros((2,), dtype))
+        zres = lbfgsb_minimize_stable(
+            probe, f_abs, z0, z_lower[None].astype(dtype), z_up,
+            maxiter=opt_maxiter,
+        )
+    else:
+
+        def f_z(zs):  # (K, 1) -> (K,)
+            pts = jnp.concatenate(
+                [jnp.zeros((zs.shape[0], 2), dtype), zs], axis=-1
+            )
+            return 2.0 * clearance_field(pts, rmol)
+
+        zres = lbfgsb_minimize(
+            f_z, z0, z_lower[None].astype(dtype), z_up,
+            maxiter=opt_maxiter,
+        )
     z_star = zres.x[0]
     capped = zres.capped
 
     # --- xy brute grid + Nelder-Mead polish (utilities.py:1307-1317) --
-    def f_xy(xy):  # (2,) -> scalar, negative diameter (maximise)
-        pt = jnp.stack([xy[0], xy[1], z_star])[None, :]
-        return -2.0 * clearance_field(pt, rmol)[0]
-
-    def f_xy_batch(xys):  # (K, 2) -> (K,): one fused clearance call
-        pts = jnp.concatenate(
-            [xys, jnp.full((xys.shape[0], 1), z_star, dtype)], axis=-1
+    if stable:
+        # delta space: every candidate evaluated as f(p) - f(anchor)
+        # through the symbolic-difference kernel.  The brute argmin and
+        # every Nelder-Mead comparison/convergence test consume only
+        # differences of these deltas (~O(1) magnitudes), not absolute
+        # clearances (~O(10)) — full f32 relative precision where plain
+        # f32 comparisons carry ~1e-6 cancellation noise.  Selection is
+        # otherwise identical (NM is translation-invariant in f).
+        anchor = jnp.stack(
+            [jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype), z_star]
         )
-        return -2.0 * clearance_field(pts, rmol)
+
+        def f_xy(xy):  # (2,) -> scalar: f(p) - f(anchor)
+            disp = jnp.stack([xy[0], xy[1], jnp.asarray(0.0, dtype)])
+            return -2.0 * clearance_diff(anchor, disp[None, :], rmol)[0]
+
+        def f_xy_batch(xys):  # (K, 2) -> (K,): one fused diff call
+            disp = jnp.concatenate(
+                [xys, jnp.zeros((xys.shape[0], 1), dtype)], axis=-1
+            )
+            return -2.0 * clearance_diff(anchor, disp, rmol)
+
+    else:
+
+        def f_xy(xy):  # (2,) -> scalar, negative diameter (maximise)
+            pt = jnp.stack([xy[0], xy[1], z_star])[None, :]
+            return -2.0 * clearance_field(pt, rmol)[0]
+
+        def f_xy_batch(xys):  # (K, 2) -> (K,): one fused clearance call
+            pts = jnp.concatenate(
+                [xys, jnp.full((xys.shape[0], 1), z_star, dtype)], axis=-1
+            )
+            return -2.0 * clearance_field(pts, rmol)
 
     half = wd0 / 2.0
     xy_star, _, nm_capped = brute_then_polish(
@@ -220,24 +284,28 @@ def _window_refine(
     capped = capped | nm_capped
 
     if cfg.z_second_mini:
-
-        def f_z2(zs):
-            pts = jnp.concatenate(
-                [
-                    jnp.broadcast_to(xy_star, (zs.shape[0], 2)),
-                    zs,
-                ],
-                axis=-1,
+        if stable:
+            probe2, f_abs2 = _z_stable_probe(rmol, xy_star)
+            zres2 = lbfgsb_minimize_stable(
+                probe2, f_abs2, zres.x, z_lower[None].astype(dtype),
+                z_up, maxiter=opt_maxiter,
             )
-            return 2.0 * clearance_field(pts, rmol)
+        else:
 
-        zres2 = lbfgsb_minimize(
-            f_z2,
-            zres.x,
-            z_lower[None].astype(dtype),
-            jnp.asarray([1e10], dtype),
-            maxiter=opt_maxiter,
-        )
+            def f_z2(zs):
+                pts = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(xy_star, (zs.shape[0], 2)),
+                        zs,
+                    ],
+                    axis=-1,
+                )
+                return 2.0 * clearance_field(pts, rmol)
+
+            zres2 = lbfgsb_minimize(
+                f_z2, zres.x, z_lower[None].astype(dtype), z_up,
+                maxiter=opt_maxiter,
+            )
         z_star = zres2.x[0]
         capped = capped | zres2.capped
 

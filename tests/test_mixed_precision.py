@@ -15,7 +15,12 @@ import numpy as np
 import pytest
 
 import pywindow_tpu as pw
-from pywindow_tpu.config import default_dtype, pore_opt_dtype, pore_opt_mode
+from pywindow_tpu.config import (
+    default_dtype,
+    pore_opt_dtype,
+    pore_opt_mode,
+    window_opt_mode,
+)
 from tests.conftest import DATA, load_xyz
 
 NUXHIZ_WINDOWS = np.sort(
@@ -40,6 +45,18 @@ def test_pore_opt_mode_rules(monkeypatch):
         pore_opt_mode(np.float32)
 
 
+def test_window_opt_mode_rules(monkeypatch):
+    assert window_opt_mode(np.float32) == "stable"
+    assert window_opt_mode(np.float64) == "classic"
+    monkeypatch.setenv("PYWINDOW_TPU_WINDOW_OPT", "classic")
+    assert window_opt_mode(np.float32) == "classic"
+    monkeypatch.setenv("PYWINDOW_TPU_WINDOW_OPT", "stable")
+    assert window_opt_mode(np.float64) == "stable"
+    monkeypatch.setenv("PYWINDOW_TPU_WINDOW_OPT", "nonsense")
+    with pytest.raises(ValueError):
+        window_opt_mode(np.float32)
+
+
 def test_pore_opt_dtype_rules():
     # x64 is enabled by conftest: promote-mode casts f32 up
     assert pore_opt_dtype(np.float32) == np.float64
@@ -60,12 +77,13 @@ def test_stable_mode_fixes_plateau_windows(monkeypatch):
     assert abs(props["pore_diameter"]["diameter"] - 8.7465449) < 1e-4
     wins = np.sort(props["windows"]["diameters"])
     assert len(wins) == 3
-    # two windows land within ~1e-3; the third sits one kink over on
-    # the plateau (0.043 A) because the *input coordinates* are already
-    # f32-rounded — the documented NUXHIZ allowance (validate_f32.py).
-    # Without the stable pore-opt stage the whole set was ~0.22 A off.
-    np.testing.assert_allclose(wins, NUXHIZ_WINDOWS, atol=5e-2)
-    assert np.sum(np.abs(wins - NUXHIZ_WINDOWS) < 5e-3) >= 2
+    # stable pore-opt (centre) + stable window refinement (z L-BFGS-B in
+    # the symbolic-difference driver, xy brute/NM in delta space) bring
+    # all three plateau windows inside 5e-3 of the f64 goldens (CPU-f32
+    # measured max error 1.9e-4).  Without the stable pore-opt the set
+    # was ~0.22 A off; without the stable refinement the worst window
+    # sat one kink over (~1e-3 CPU, 0.043 TPU).
+    np.testing.assert_allclose(wins, NUXHIZ_WINDOWS, atol=5e-3)
 
 
 @pytest.mark.slow

@@ -287,3 +287,49 @@ def test_open_compaction_bitwise_and_escalation():
         np.testing.assert_array_equal(
             item["windows"]["diameters"], ref["windows"]["diameters"]
         )
+
+
+def test_z_stable_probe_matches_f64_differences():
+    """The window z-stage symbolic probe must reproduce f64 absolute
+    differencing of the same (f32-rounded) landscape at scipy's
+    ``h = 1e-8`` scale — where a plain f32 ``f(x+h) - f(x)`` is pure
+    cancellation noise."""
+    import jax.numpy as jnp
+
+    from pywindow_tpu.ops.encoding import MolArrays, encode
+    from pywindow_tpu.ops.geometry import clearance_field
+    from pywindow_tpu.ops.windows import _z_stable_probe
+
+    elements, coords = load_xyz(DATA / "BATVUP.xyz")
+    m32 = encode(elements, coords, dtype=np.float32)
+    # the f64 reference evaluates the SAME f32-rounded landscape
+    m64 = MolArrays(
+        coords=m32.coords.astype(jnp.float64),
+        mass=m32.mass.astype(jnp.float64),
+        vdw=m32.vdw.astype(jnp.float64),
+        cov=m32.cov.astype(jnp.float64),
+        mask=m32.mask,
+    )
+    xy = jnp.asarray([0.3, -0.2], jnp.float32)
+    probe, f_abs = _z_stable_probe(m32, xy)
+
+    def f64(z):
+        pt = jnp.asarray([[0.3, -0.2, z]], jnp.float64)
+        pt = pt.at[0, :2].set(xy.astype(jnp.float64))
+        return float(2.0 * clearance_field(pt, m64)[0])
+
+    z0, disp, h = 0.5, 1e-8, 1e-8
+    delta, grad = probe(
+        jnp.asarray([z0], jnp.float32),
+        jnp.asarray([disp], jnp.float32),
+        jnp.asarray([h], jnp.float32),
+    )
+    want_delta = f64(z0 + disp) - f64(z0)
+    want_grad = (f64(z0 + disp + h) - f64(z0 + disp)) / h
+    assert want_delta != 0.0  # the probe point is on a slope
+    assert abs(float(delta) - want_delta) < 1e-4 * abs(want_delta)
+    assert abs(float(grad[0]) - want_grad) < 1e-4 * abs(want_grad)
+    # absolute-f hook agrees with the plain field
+    assert float(f_abs(jnp.asarray([z0], jnp.float32))) == pytest.approx(
+        f64(z0), abs=1e-5
+    )

@@ -166,6 +166,10 @@ def build() -> list[pathlib.Path]:
                 "language_info": {"name": "python"},
             },
         )
+        # deterministic cell ids: nbformat generates random ones, which
+        # would churn the checked-in notebooks on every regeneration
+        for i, cell in enumerate(nb.cells):
+            cell["id"] = f"cell-{i:02d}"
         out = DST / dst_name
         nbformat.write(nb, out)
         written.append(out)

@@ -87,6 +87,26 @@ def test_stable_mode_fixes_plateau_windows(monkeypatch):
 
 
 @pytest.mark.slow
+def test_stable_window_refinement_reymal(monkeypatch):
+    """REYMAL's six 9-Å windows are the sharpest stable-refinement win:
+    plain-f32 z/xy refinement landed 3.7e-3 off the f64 goldens, the
+    delta-space drivers land 3.2e-5 (CPU-f32 measured)."""
+    monkeypatch.setenv("PYWINDOW_TPU_FORCE_F32", "1")
+    elements, coords = load_xyz(DATA / "REYMAL.xyz")
+    mol = pw.Molecule({"elements": elements, "coordinates": coords})
+    props = mol.full_analysis()
+    wins = np.sort(props["windows"]["diameters"])
+    gold = np.sort(
+        [
+            9.05410173, 9.05947091, 9.16546626,
+            9.17248558, 9.17507083, 9.19220592,
+        ]
+    )
+    assert len(wins) == 6
+    np.testing.assert_allclose(wins, gold, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_promote_mode_still_works(monkeypatch):
     """The legacy f64-stage mixed mode stays available via env."""
     monkeypatch.setenv("PYWINDOW_TPU_FORCE_F32", "1")

@@ -102,23 +102,35 @@ def clearance_diff(
     magnitude.
 
     x: (..., 3); disp: (..., K, 3) -> (..., K).
+
+    Implementation note (HBM): the (K, N) work is written in unrolled
+    per-coordinate broadcast form with ``num = 2 * disp.dxv + |disp|^2``
+    and ``|p-a|^2 = |x-a|^2 + num`` (exact algebra), so no
+    ``(..., K, N, 3)`` tensor and no mid-chain coordinate reductions
+    exist — XLA fuses the whole (K, N) DAG into the final min-reduction
+    and streams it.  The earlier stacked form materialised two
+    ``(B, W, K, N)`` HLO temps (26 GB at the production batch size,
+    the HBM ceiling of the brute-grid refinement stage).
     """
     dxv = x[..., None, :] - mol.coords  # (..., N, 3)
-    db = jnp.sqrt(jnp.sum(dxv * dxv, axis=-1))  # (..., N)
+    db2 = jnp.sum(dxv * dxv, axis=-1)  # (..., N)
+    db = jnp.sqrt(db2)
     cb = jnp.where(mol.mask, db - mol.vdw, BIG)
     m0 = jnp.min(cb, axis=-1)
+    base = cb - m0[..., None]  # (..., N)
 
-    pdv = dxv[..., None, :, :] + disp[..., :, None, :]  # (..., K, N, 3)
-    dp = jnp.sqrt(jnp.sum(pdv * pdv, axis=-1))  # (..., K, N)
-    num = jnp.sum(
-        disp[..., :, None, :] * (dxv[..., None, :, :] + pdv), axis=-1
-    )
+    s2 = jnp.sum(disp * disp, axis=-1)  # (..., K)
+    g = None
+    for k in range(3):
+        t = disp[..., :, k, None] * dxv[..., None, :, k]
+        g = t if g is None else g + t  # (..., K, N)
+    num = 2.0 * g + s2[..., :, None]
+    # |p-a|^2 = db2 + num >= 0 exactly; clamp f32 rounding dips
+    dp = jnp.sqrt(jnp.maximum(db2[..., None, :] + num, 0.0))
     den = db[..., None, :] + dp
     delta = num / jnp.where(den == 0.0, 1.0, den)
     q = jnp.where(
-        mol.mask[..., None, :],
-        (cb - m0[..., None])[..., None, :] + delta,
-        BIG,
+        mol.mask[..., None, :], base[..., None, :] + delta, BIG
     )
     return jnp.min(q, axis=-1)
 

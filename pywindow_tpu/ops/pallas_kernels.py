@@ -192,10 +192,20 @@ def path_sweep_pallas(
         ok0 = jnp.ones((v.shape[0], 1), dtype)
         pos0 = jnp.zeros((v.shape[0], 1), dtype)
         cmin0 = jnp.full((v.shape[0], 1), big, dtype)
+        # dynamic trip count: steps beyond every ray's chunk count are
+        # fully masked no-ops (validl False -> ok unchanged, cm = big
+        # never wins), so stopping at max(ch)+1 is bitwise identical to
+        # the static max_steps walk.  Spiral rays all share one radius,
+        # so this trims the l1 padding (e.g. 16 -> 12 on CC3, ~25% of
+        # the kernel's work; measured ~18 ms at B=4320).
         # i32 loop bounds: python ints would make the counter i64 under
         # x64, and 64-bit types crash the mosaic layout inferer
+        n_steps = jnp.minimum(
+            jnp.max(ch).astype(jnp.int32) + jnp.int32(1),
+            jnp.int32(max_steps),
+        )
         ok, pos, cmin = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(max_steps), body, (ok0, pos0, cmin0)
+            jnp.int32(0), n_steps, body, (ok0, pos0, cmin0)
         )
         ok_ref[:] = ok
         pos_ref[:] = pos

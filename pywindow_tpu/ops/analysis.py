@@ -140,6 +140,8 @@ def full_analysis_device(
     l1: int,
     l2: int,
     cfg: AnalysisConfig,
+    pore_centre: jnp.ndarray | None = None,
+    pore_capped: jnp.ndarray | None = None,
 ) -> FullAnalysis:
     """One fused device pass producing every per-molecule property.
 
@@ -148,6 +150,13 @@ def full_analysis_device(
     computation so XLA can share the clearance primitives across stages
     (the reference runs these as separate host calls,
     utilities.py:1363-1464).
+
+    ``pore_centre``/``pore_capped``: optionally inject an
+    already-optimised pore centre (and its budget-capped flag).  The
+    TPU production path computes the centres for the whole batch
+    OUTSIDE the per-molecule vmap through the fused Pallas optimiser
+    kernel (:func:`pywindow_tpu.ops.lbfgsb_pallas.pore_centres_pallas`)
+    and passes them in here.
     """
     mw = molecular_weight(mol)
     com = center_of_mass(mol)
@@ -161,7 +170,15 @@ def full_analysis_device(
 
     pd, pd_atom = pore_diameter(mol, com=com)
     pv = sphere_volume(pd / 2.0)
-    pod, pod_atom, pod_centre, pore_capped = pore_diameter_opt(mol, cfg)
+    if pore_centre is not None:
+        pod_centre = pore_centre
+        pod, pod_atom = pore_diameter(mol, com=pod_centre)
+        if pore_capped is None:
+            pore_capped = jnp.asarray(False)
+    else:
+        pod, pod_atom, pod_centre, pore_capped = pore_diameter_opt(
+            mol, cfg
+        )
     pov = sphere_volume(pod / 2.0)
 
     wins = find_windows(
@@ -291,9 +308,41 @@ def static_sizes(
     return n_win, n_avg, pad8(l1), pad8(l2)
 
 
+def route_pore_stage(cfg: AnalysisConfig) -> bool:
+    """Run the pore-centre stage through the fused Pallas optimiser?
+
+    True on TPU in ``"stable"`` pore-opt mode (the f32 production
+    default): the centres for the whole batch are then computed outside
+    the per-molecule vmap by
+    :func:`pywindow_tpu.ops.lbfgsb_pallas.pore_centres_pallas` — the
+    vmapped jnp driver pays ~6 ms/iteration of XLA op dispatch at
+    production batch sizes where the fused kernel pays only the
+    clearance math.
+    """
+    from pywindow_tpu.config import default_dtype, pore_opt_mode
+    from pywindow_tpu.ops.lbfgsb_pallas import route_opt_to_pallas
+
+    return (
+        pore_opt_mode(default_dtype()) == "stable"
+        and route_opt_to_pallas()
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_full_analysis(n_win, n_avg, l1, l2, cfg):
+    from pywindow_tpu.config import effective_budgets
+
+    route = route_pore_stage(cfg)
+    opt_maxiter, _ = effective_budgets(cfg)
+
     def fn(mol):
+        centre = capped = None
+        if route:
+            from pywindow_tpu.ops.lbfgsb_pallas import pore_centres_pallas
+
+            batch1 = jax.tree_util.tree_map(lambda a: a[None], mol)
+            centres, cappeds = pore_centres_pallas(batch1, opt_maxiter)
+            centre, capped = centres[0], cappeds[0]
         return pack_results(
             full_analysis_device(
                 mol,
@@ -302,6 +351,8 @@ def _compiled_full_analysis(n_win, n_avg, l1, l2, cfg):
                 l1=l1,
                 l2=l2,
                 cfg=cfg,
+                pore_centre=centre,
+                pore_capped=capped,
             )
         )
 

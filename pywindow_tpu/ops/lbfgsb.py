@@ -85,7 +85,12 @@ def _dcstep(st: _StepState, fp, dp, stpmin, stpmax) -> _StepState:
         return jnp.where(flip, -g, g)
 
     def safe_div(p, q):
-        return p / jnp.where(q == 0.0, 1e-300, q)
+        # dtype-pinned tiny divisor: in float64 this is 1e-300 exactly
+        # (scipy-parity path unchanged); in float32 it flushes to 0.0 —
+        # the same value the unpinned literal produced — but the pin
+        # keeps the constant out of weak-f64 territory so _dcstep can
+        # run inside Pallas kernels under x64 (see CLAUDE.md).
+        return p / jnp.where(q == 0.0, jnp.asarray(1e-300, q.dtype), q)
 
     # --- case 1: higher function value -------------------------------
     theta1 = 3.0 * (fx - fp) * safe_div(1.0, stp - stx) + dx + dp

@@ -205,6 +205,24 @@ def brute_then_polish(
     (grid, atoms) clearance intermediate stays out of HBM) AND for the
     per-iteration candidate batches of the polish.
     """
+    x0 = brute_start(f, lower, upper, ns, f_batch=f_batch)
+    return nelder_mead(
+        f, x0, xatol=xatol, fatol=fatol, maxiter=maxiter,
+        f_batch=f_batch,
+    )
+
+
+def brute_start(
+    f: Callable[[jnp.ndarray], jnp.ndarray],
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+    ns: int,
+    f_batch: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+) -> jnp.ndarray:
+    """The dense-grid argmin that seeds the polish (scipy ``brute``'s
+    grid pass; reference: utilities.py:1312-1314).  Split out so the
+    TPU path can pair this exact jnp grid with the fused Pallas
+    Nelder–Mead kernel (ops/nm_pallas.py)."""
     gx = jnp.linspace(lower[0], upper[0], ns)
     gy = jnp.linspace(lower[1], upper[1], ns)
     grid = jnp.stack(
@@ -223,8 +241,4 @@ def brute_then_polish(
     sel = jnp.arange(fg.shape[0], dtype=jnp.int32) == i
     # masked sum, not a one-hot matmul: TPU f32 matmuls default to bf16
     # multiplies, which would round the selected grid point itself.
-    x0 = jnp.sum(jnp.where(sel[:, None], grid, 0.0), axis=0)
-    return nelder_mead(
-        f, x0, xatol=xatol, fatol=fatol, maxiter=maxiter,
-        f_batch=f_batch,
-    )
+    return jnp.sum(jnp.where(sel[:, None], grid, 0.0), axis=0)

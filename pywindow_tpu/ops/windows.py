@@ -144,6 +144,24 @@ def _rot_y(angle: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+class _ZRes(NamedTuple):
+    """Minimal result view of a routed z optimisation (x, capped)."""
+
+    x: jnp.ndarray
+    capped: jnp.ndarray
+
+
+def _route_z_pallas() -> bool:
+    """Route the window-z stable stage to the fused Pallas kernel?
+
+    Same policy as the pore stage (TPU, or forced for tests) — see
+    :func:`pywindow_tpu.ops.lbfgsb_pallas.route_opt_to_pallas`.
+    """
+    from pywindow_tpu.ops.lbfgsb_pallas import route_opt_to_pallas
+
+    return route_opt_to_pallas()
+
+
 def _z_stable_probe(rmol: MolArrays, xy: jnp.ndarray):
     """Symbolic-difference evaluator of the window z objective.
 
@@ -216,7 +234,18 @@ def _window_refine(
     )
     z0 = jnp.zeros((1,), dtype)
     z_up = jnp.asarray([1e10], dtype)
-    if stable:
+    if stable and _route_z_pallas():
+        # TPU production: the fused Pallas optimiser kernel, dispatched
+        # ONCE for all (frame, window) lanes — the custom_vmap wrapper
+        # collapses the nested vmaps (see ops/lbfgsb_pallas.py).
+        from pywindow_tpu.ops.lbfgsb_pallas import z_opt_stable_pallas
+
+        zx, z_capped = z_opt_stable_pallas(
+            rmol.coords, rmol.vdw, jnp.zeros((2,), dtype), z0,
+            z_lower[None].astype(dtype), z_up, maxiter=opt_maxiter,
+        )
+        zres = _ZRes(x=zx, capped=z_capped)
+    elif stable:
         probe, f_abs = _z_stable_probe(rmol, jnp.zeros((2,), dtype))
         zres = lbfgsb_minimize_stable(
             probe, f_abs, z0, z_lower[None].astype(dtype), z_up,
@@ -273,18 +302,41 @@ def _window_refine(
             return -2.0 * clearance_field(pts, rmol)
 
     half = wd0 / 2.0
-    xy_star, _, nm_capped = brute_then_polish(
-        f_xy,
-        jnp.stack([-half, -half]),
-        jnp.stack([half, half]),
-        ns=cfg.brute_ns,
-        maxiter=nm_maxiter,
-        f_batch=f_xy_batch,
-    )
+    if stable and _route_z_pallas():
+        # TPU production: the exact jnp brute grid seeds the fused
+        # Pallas Nelder-Mead kernel (one dispatch for all
+        # frame x window lanes via custom_vmap; see ops/nm_pallas.py)
+        from pywindow_tpu.ops.nm_pallas import nm_xy_stable_pallas
+        from pywindow_tpu.ops.optim import brute_start
+
+        x0 = brute_start(
+            f_xy, jnp.stack([-half, -half]), jnp.stack([half, half]),
+            ns=cfg.brute_ns, f_batch=f_xy_batch,
+        )
+        xy_star, _, nm_capped = nm_xy_stable_pallas(
+            rmol.coords, rmol.vdw, z_star, x0, maxiter=nm_maxiter,
+        )
+    else:
+        xy_star, _, nm_capped = brute_then_polish(
+            f_xy,
+            jnp.stack([-half, -half]),
+            jnp.stack([half, half]),
+            ns=cfg.brute_ns,
+            maxiter=nm_maxiter,
+            f_batch=f_xy_batch,
+        )
     capped = capped | nm_capped
 
     if cfg.z_second_mini:
-        if stable:
+        if stable and _route_z_pallas():
+            from pywindow_tpu.ops.lbfgsb_pallas import z_opt_stable_pallas
+
+            zx2, z2_capped = z_opt_stable_pallas(
+                rmol.coords, rmol.vdw, xy_star, zres.x,
+                z_lower[None].astype(dtype), z_up, maxiter=opt_maxiter,
+            )
+            zres2 = _ZRes(x=zx2, capped=z2_capped)
+        elif stable:
             probe2, f_abs2 = _z_stable_probe(rmol, xy_star)
             zres2 = lbfgsb_minimize_stable(
                 probe2, f_abs2, zres.x, z_lower[None].astype(dtype),

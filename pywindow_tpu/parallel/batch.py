@@ -41,7 +41,7 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
     :mod:`pywindow_tpu.parallel.distributed` (Mesh/NamedSharding are
     hashable, so the compiled program is still memoised per mesh)."""
 
-    def fn(mol):
+    def fn(mol, pore_centre=None, pore_capped=None):
         return pack_results(
             full_analysis_device(
                 mol,
@@ -50,10 +50,30 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
                 l1=l1,
                 l2=l2,
                 cfg=cfg,
+                pore_centre=pore_centre,
+                pore_capped=pore_capped,
             )
         )
 
-    batched = jax.vmap(fn)
+    from pywindow_tpu.ops.analysis import route_pore_stage
+
+    if mesh_key is None and route_pore_stage(cfg):
+        # TPU production path: the pore-centre stage runs the fused
+        # Pallas optimiser kernel over the WHOLE batch (a pallas_call
+        # does not auto-partition, so sharded meshes keep the vmapped
+        # jnp driver), then the rest of the pipeline vmaps as usual
+        # with the centres injected per molecule.
+        from pywindow_tpu.config import effective_budgets
+        from pywindow_tpu.ops.lbfgsb_pallas import pore_centres_pallas
+
+        opt_maxiter, _ = effective_budgets(cfg)
+
+        def batched(mols):
+            centres, capped = pore_centres_pallas(mols, opt_maxiter)
+            return jax.vmap(fn)(mols, centres, capped)
+
+    else:
+        batched = jax.vmap(fn)
     if mesh_key is None:
         return jax.jit(batched)
     if isinstance(mesh_key, tuple) and mesh_key[0] == "procs":

@@ -54,6 +54,14 @@ def load_pdb(path):
     return np.array(elements), np.array(coords)
 
 
+def load_structure(name):
+    """Golden structure by name, from tests/data (.xyz, else .pdb)."""
+    p = DATA / f"{name}.xyz"
+    if p.exists():
+        return load_xyz(p)
+    return load_pdb(DATA / f"{name}.pdb")
+
+
 @pytest.fixture(scope="session")
 def cc3():
     return load_xyz(DATA / "PUDXES.xyz")

@@ -115,6 +115,20 @@ def _pick_tile_p(n_pad: int) -> int:
     return tile
 
 
+def _fit_tile(p: int, cap: int) -> int:
+    """Ray tile <= cap minimising padding: split the rays over the
+    fewest programs the VMEM cap allows and round the per-program share
+    up to 8 — e.g. 810 rays under a 512 cap become 2x408 (pad 816)
+    instead of 2x512 (pad 1024, 26% dead lanes).  Padded rays are inert
+    in both kernels (results sliced off; per-ray arithmetic independent)
+    so the tiling never changes real-ray values."""
+    p8 = _round_up(max(p, 8), 8)
+    if p8 <= cap:
+        return p8
+    progs = -(-p8 // cap)
+    return _round_up(-(-p8 // progs), 8)
+
+
 def path_sweep_pallas(
     vectors: jnp.ndarray,  # (P, 3) ray end points (path start = origin)
     chunks: jnp.ndarray,  # (P,) int32 path chunk counts (>= 1)
@@ -145,11 +159,10 @@ def path_sweep_pallas(
     big = 1.0e30  # python float: jnp scalars become captured consts in-kernel
 
     n_pad = _round_up(max(n, 128), 128)
-    # cap the ray tile at the (8-aligned) ray count: the W-slot
-    # refinement sweep has P~16 and must not pad to a 512-ray tile.
-    # (Halving the tile to trim ray padding was measured neutral — the
-    # step loop is atom-dimension bound.)
-    tile_p = min(_pick_tile_p(n_pad), _round_up(max(p, 8), 8))
+    # fit the ray tile to the ray count (the W-slot refinement sweep
+    # has P~16 and must not pad to a 512-ray tile; a spiral of 810
+    # must not pad to 1024 — see _fit_tile)
+    tile_p = _fit_tile(p, _pick_tile_p(n_pad))
     p_pad = _round_up(max(p, 8), tile_p)
 
     vectors_p = jnp.zeros((p_pad, 3), dtype).at[:p].set(vectors)
@@ -273,11 +286,10 @@ def ray_exit_pallas(
     big = 1.0e30
 
     n_pad = _round_up(max(n, 128), 128)
-    # cap the ray tile at the (8-aligned) ray count: the W-slot
-    # refinement sweep has P~16 and must not pad to a 512-ray tile.
-    # (Halving the tile to trim ray padding was measured neutral — the
-    # step loop is atom-dimension bound.)
-    tile_p = min(_pick_tile_p(n_pad), _round_up(max(p, 8), 8))
+    # fit the ray tile to the ray count (the W-slot refinement sweep
+    # has P~16 and must not pad to a 512-ray tile; a spiral of 810
+    # must not pad to 1024 — see _fit_tile)
+    tile_p = _fit_tile(p, _pick_tile_p(n_pad))
     p_pad = _round_up(max(p, 8), tile_p)
 
     unit_p = jnp.zeros((p_pad, 3), dtype).at[:p].set(unit)

@@ -399,6 +399,10 @@ def sweep_uniform(
     _, mass, vdw, cov, mask = _encode_host(
         elements, np.zeros((n, 3)), n_pad, dtype
     )
+    # one up-front cast to the pipeline dtype: the per-chunk f64->f32
+    # element casts were ~40% of the host assembly cost of a sweep
+    # (bitwise identical — casts are elementwise, order-free)
+    coords_t = np.ascontiguousarray(coords, dtype=dtype)
 
     n_dev = len(jax.devices())
     shard = n_dev > 1
@@ -426,14 +430,47 @@ def sweep_uniform(
             mesh_key="frames" if shard else None,
         )
 
-        def dispatch(part):
-            chunk = np.full((c, n_pad, 3), FAR_AWAY, dtype=dtype)
-            chunk[: len(part), :n] = coords[part]
+        # host->device bytes are the sweep's bottleneck next to the
+        # fused device pipeline (~45 MB/s over the tunneled TPU), so
+        # chunks ship TIGHT — (c, n, 3), no atom padding — and a tiny
+        # separate jit pads to n_pad on device with the same FAR_AWAY
+        # constant (bitwise-identical pipeline input, 33% fewer bytes
+        # for CC3's 168->256 padding).  Two alternating scratch buffers
+        # replace the per-chunk np.full: a buffer is reused two chunks
+        # later, after its transfer has certainly completed (the
+        # one-deep pipeline fetches chunk k before dispatching k+2).
+        pad_cols = n_pad - n
+
+        @jax.jit
+        def _pad_dev(tight):
+            return jnp.pad(
+                tight,
+                ((0, 0), (0, pad_cols), (0, 0)),
+                constant_values=np.asarray(FAR_AWAY, dtype),
+            )
+
+        # buffer reuse only off-CPU: the CPU backend may alias numpy
+        # buffers zero-copy in device_put, where reuse would corrupt an
+        # in-flight chunk (accelerators always copy across the transfer)
+        reuse_bufs = jax.default_backend() != "cpu"
+        bufs = [np.empty((c, n, 3), dtype=dtype) for _ in range(2)]
+
+        def dispatch(part, k):
+            buf = (
+                bufs[k % 2]
+                if reuse_bufs
+                else np.empty((c, n, 3), dtype=dtype)
+            )
+            lo, hi = int(part[0]), int(part[-1]) + 1
+            if hi - lo == len(part):
+                buf[: len(part)] = coords_t[lo:hi]  # contiguous slice
+            else:
+                buf[: len(part)] = coords_t[part]
             # padding slots replay the chunk's first frame (results
             # sliced off on collect) so every chunk runs ONE shape
             if len(part) < c:
-                chunk[len(part) :, :n] = coords[part[0]]
-            mols = MolArrays(jnp.asarray(chunk), *fields_dev)
+                buf[len(part) :] = coords_t[part[0]]
+            mols = MolArrays(_pad_dev(jnp.asarray(buf)), *fields_dev)
             return (fn(mols), len(part), cfg, ref)
 
         def finish(part, handle):
@@ -447,9 +484,9 @@ def sweep_uniform(
             on_batch(part, results)
 
         pending = None
-        for lo in range(0, len(idxs), c):
+        for k, lo in enumerate(range(0, len(idxs), c)):
             part = idxs[lo : lo + c]
-            handle = dispatch(part)
+            handle = dispatch(part, k)
             if pending is not None:
                 finish(*pending)
             pending = (part, handle)

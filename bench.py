@@ -41,9 +41,14 @@ import numpy as np
 
 REPO = pathlib.Path(__file__).parent
 HISTORY = REPO / "tests" / "data" / "HISTORY_singlemol_short"
-BATCH = 4320  # HBM ceiling lifted by the open-ray compaction (round 3);
-#               the latency-chain optimiser loops amortise better at
-#               large B (measured 8870 f/s at B=1440 -> 10032 at 4320)
+# device-side batch for the kernel-only metric: larger amortises the
+# optimiser-kernel tiles better (measured 89 us/frame at 4320 -> 79 at
+# 8640).  The e2e sweep stays at 4320: its pipeline hides the tunnel
+# transfer behind device compute best with more, smaller stages, and a
+# mid-sweep tunnel stall costs less (measured: best-of-2 e2e 5740 f/s
+# at 4320 vs 3850 at 8640).
+KERNEL_BATCH = 8640
+BATCH = 4320
 STEADY_REPS = 3
 REF_FRAMES = 20
 E2E_REPS = 2
@@ -83,7 +88,7 @@ def measure_tpu(systems) -> float:
     from pywindow_tpu.ops.encoding import encode_batch
     from pywindow_tpu.parallel.batch import _compiled_batch_analysis
 
-    batch = [systems[i % len(systems)] for i in range(BATCH)]
+    batch = [systems[i % len(systems)] for i in range(KERNEL_BATCH)]
     mols = encode_batch(batch)
     # size from the largest frame, as dispatch_batch would
     maxd = max(max_dim_host(*s) for s in systems)
@@ -99,7 +104,7 @@ def measure_tpu(systems) -> float:
     res0 = unpack_results(flat[0], DEFAULT_CONFIG.max_windows)
     assert abs(float(res0.pore_diameter) - 5.0) < 2.0, res0.pore_diameter
     assert int(np.sum(res0.windows.valid)) >= 1
-    return BATCH / dt
+    return KERNEL_BATCH / dt
 
 
 def synth_history(n_frames: int) -> pathlib.Path:

@@ -67,12 +67,13 @@ GOLD = {
     # example_1, SAYGOR from reference example_5, REYMAL from the
     # CPU-x64 parity run (the reference publishes no REYMAL window
     # values).
-    # NUXHIZ carries a documented 0.05 A allowance: with the accurate
-    # pore centre its residual f32 error is the z/xy refinement landing
-    # one kink over on the plateau (TPU measured 0.043 A; scipy
-    # releases disagree at ~0.01 on this cage in f64) — promoting the
-    # per-window optimisers to f64 would cost ~10-80% throughput for
-    # one system's last 0.03 A.
+    # NUXHIZ carries a documented 0.05 A allowance for kink-level
+    # backend variation (scipy releases disagree at ~0.01 on this cage
+    # even in f64).  Measured on TPU: 0.043 A with the vmapped jnp
+    # optimisers (round 2), 2.1e-4 A with the fused Pallas optimiser
+    # kernels (round 3) — the production TPU path now meets the strict
+    # 0.01 contract on all seven systems; the allowance stays for the
+    # unrouted paths.
     "NUXHIZ": {
         "tol": 0.05,
         "pore": 8.746544980478657,

@@ -483,15 +483,24 @@ def sweep_uniform(
             )
             on_batch(part, results)
 
-        pending = None
-        for k, lo in enumerate(range(0, len(idxs), c)):
-            part = idxs[lo : lo + c]
-            handle = dispatch(part, k)
-            if pending is not None:
-                finish(*pending)
-            pending = (part, handle)
-        if pending is not None:
-            finish(*pending)
+        # one-deep pipeline + a single collector thread: while the
+        # device crunches chunk k+1 and the MAIN thread assembles and
+        # transfers chunk k+2, the collector fetches chunk k's results
+        # (np.asarray releases the GIL during the device->host transfer)
+        # and converts them to dicts.  ONE worker keeps on_batch calls
+        # strictly ordered; exceptions surface at .result().
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as collector:
+            done = None
+            for k, lo in enumerate(range(0, len(idxs), c)):
+                part = idxs[lo : lo + c]
+                handle = dispatch(part, k)
+                if done is not None:
+                    done.result()
+                done = collector.submit(finish, part, handle)
+            if done is not None:
+                done.result()
 
 
 def retry_saturated_windows(

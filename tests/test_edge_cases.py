@@ -8,6 +8,7 @@ from pywindow_tpu import profiling
 from pywindow_tpu.config import AnalysisConfig
 
 
+@pytest.mark.slow
 def test_single_atom_molecule():
     mol = pw.Molecule(
         {"elements": np.array(["Ar"]), "coordinates": np.zeros((1, 3))}
@@ -22,6 +23,7 @@ def test_single_atom_molecule():
     assert props["windows"]["diameters"] is None
 
 
+@pytest.mark.slow
 def test_two_atom_molecule():
     mol = pw.Molecule(
         {

@@ -77,6 +77,7 @@ def _kernel_batch(mols, maxiter=40):
     return pore_centres_pallas(mols, maxiter, tile=8, interpret=True)
 
 
+@pytest.mark.slow
 def test_kernel_matches_driver_on_goldens():
     systems = [load_structure(n) for n in GOLD_SYSTEMS]
     mols = encode_batch(systems, dtype=np.float32)
@@ -92,6 +93,7 @@ def test_kernel_matches_driver_on_goldens():
             assert float(jnp.max(jnp.abs(xk[i] - xd[i]))) < 1e-3, name
 
 
+@pytest.mark.slow
 def test_kernel_tracks_driver_on_fuzz():
     """Random shells are kinky min-of-cones landscapes where ulp-level
     probe rounding legitimately flips a stopping decision into another
@@ -123,6 +125,7 @@ def test_kernel_tracks_driver_on_fuzz():
     assert close >= len(systems) // 2, close
 
 
+@pytest.mark.slow
 def test_padded_lanes_and_tiling_are_inert():
     """Results must not depend on the batch tile or pad-lane count."""
     systems = [load_structure("PUDXES"), load_structure("YAQHOQ")]
@@ -142,6 +145,7 @@ def test_padded_lanes_and_tiling_are_inert():
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
 
 
+@pytest.mark.slow
 def test_routed_pipeline_matches_unrouted(monkeypatch):
     """Full analysis with forced kernel routing == unrouted pipeline."""
     monkeypatch.setenv("PYWINDOW_TPU_FORCE_F32", "1")

@@ -118,6 +118,7 @@ def test_promote_mode_still_works(monkeypatch):
     np.testing.assert_allclose(wins, NUXHIZ_WINDOWS, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_stable_matches_classic_f64_centre():
     """The stable f32 driver lands on the f64 stopping point (NUXHIZ)."""
     from pywindow_tpu.ops.analysis import optimise_pore_centre

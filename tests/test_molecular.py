@@ -133,6 +133,7 @@ def test_molecule_from_dict_without_atom_ids(cc3):
     assert mol.molecular_weight() == pytest.approx(1117.548, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_analyze_molecules_batched_matches_individual():
     molsys = pw.MolecularSystem.load_file(DATA / "system_periodic.pdb")
     molsys.make_modular(rebuild=True)

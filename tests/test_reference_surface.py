@@ -152,6 +152,7 @@ def test_objectives_match_reference(ref_utils, cc3):
     )
 
 
+@pytest.mark.slow
 def test_window_analysis_matches_reference(ref_utils, cc3):
     """The compat window_analysis must land on the reference's window
     (same widest-ray selection, same optimised diameter/centre)."""
@@ -175,6 +176,7 @@ def test_window_analysis_matches_reference(ref_utils, cc3):
         np.testing.assert_allclose(got[1], want[1], atol=5e-2)
 
 
+@pytest.mark.slow
 def test_window_analysis_honours_custom_vdw(ref_utils, cc3):
     """Caller-supplied vdW radii flow into the fine ray re-sample, as
     in the reference (vector_analysis at utilities.py:1221-1224 takes

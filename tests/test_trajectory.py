@@ -47,6 +47,7 @@ def test_get_frames_ranges(traj):
     assert isinstance(raw[7], str) and "timestep" in raw[7]
 
 
+@pytest.mark.slow
 def test_analysis_and_resume(traj, tmp_path):
     traj.analysis_output = {}
     traj.analysis(frames=[0, 1], forcefield="opls", swap_atoms={"he": "H"})
@@ -289,6 +290,7 @@ def test_keytrj_native_matches_python(tmp_path, keytrj, monkeypatch):
         np.testing.assert_array_equal(native_out[key], python_out[key])
 
 
+@pytest.mark.slow
 def test_varying_n_trajectory_buckets_by_pad(tmp_path, monkeypatch):
     """A mixed-size sweep groups frames by padded atom count: every
     dispatched sub-batch is homogeneous (no max-padding small frames to

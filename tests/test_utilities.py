@@ -14,6 +14,7 @@ def cc3_arrays():
     return load_xyz(DATA / "PUDXES.xyz")
 
 
+@pytest.mark.slow
 def test_function_level_parity(cc3_arrays):
     elements, coords = cc3_arrays
     np.testing.assert_allclose(
@@ -53,6 +54,7 @@ def test_small_helpers():
     np.testing.assert_allclose(shifted.mean(axis=0), [0, 0, 0], atol=1e-12)
 
 
+@pytest.mark.slow
 def test_batch_matches_single(cc3_arrays):
     elements, coords = cc3_arrays
     single = pw.Molecule(
@@ -201,6 +203,7 @@ def test_autosave_and_resume(tmp_path):
     assert 2 in traj2.analysis_output
 
 
+@pytest.mark.slow
 def test_mixed_size_batch():
     """Heterogeneous batch: per-system correctness regardless of batch
     composition (static sizes come from the largest exact member)."""

@@ -19,7 +19,16 @@ from tests.conftest import DATA, load_xyz
 GOLDEN = json.loads((DATA / "validation_golden.json").read_text())
 
 
-@pytest.mark.parametrize("case", [f"case_{i}" for i in range(1, 6)])
+@pytest.mark.parametrize(
+    "case",
+    [
+        pytest.param(
+            f"case_{i}",
+            marks=[pytest.mark.slow] if i in (2, 3, 5) else [],
+        )
+        for i in range(1, 6)
+    ],
+)
 def test_windows_validation_suite(case):
     elements, coords = load_xyz(DATA / f"val_{case}.xyz")
     mol = pw.Molecule(

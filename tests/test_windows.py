@@ -75,7 +75,18 @@ CASES = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(
+            n,
+            marks=[pytest.mark.slow]
+            if n in ("MIBQAR", "REYMAL", "NUXHIZ", "SAYGOR")
+            else [],
+        )
+        for n in sorted(CASES)
+    ],
+)
 def test_windows_golden(name):
     loader, fname, gold, tol = CASES[name]
     elements, coords = loader(DATA / fname)
@@ -116,6 +127,7 @@ def test_cc3_window_centres():
         np.testing.assert_allclose(coms[j], g, atol=0.01)
 
 
+@pytest.mark.slow
 def test_pore_opt_goldens():
     golden = {
         "YAQHOQ": (3.6101512374999996, 3.6289753088227567, 0.01),

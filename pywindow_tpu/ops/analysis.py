@@ -26,6 +26,7 @@ from pywindow_tpu.ops.geometry import (
     center_of_mass,
     clearance_field,
     max_dim,
+    max_dim_value,
     molecular_weight,
     pore_diameter,
     shift_to,
@@ -165,7 +166,7 @@ def full_analysis_device(
     # average diameter runs on the COM-centred molecule with a sampling
     # sphere of radius = full max diameter (utilities.py:1586-1650).
     centred = shift_to(mol, jnp.zeros(3, mol.coords.dtype))
-    _, _, maxd_c = max_dim(centred)
+    maxd_c = max_dim_value(centred)
     avg = rays.average_diameter(centred, n_points_avg, maxd_c)
 
     pd, pd_atom = pore_diameter(mol, com=com)

@@ -156,10 +156,17 @@ def _finalise(labels, border_label, core, valid, idx, p, max_clusters):
     """Attach borders and renumber components by ascending root index."""
     raw = jnp.where(core, labels, jnp.where(valid, border_label, _INT_INF))
     is_root = core & (labels == idx)  # one root per component
-    root_rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank at root pos
-    rank_of = jnp.where(
-        (raw >= 0) & (raw < p), root_rank[jnp.clip(raw, 0, p - 1)], -1
+    # rank(raw) == cumsum(is_root)[raw] - 1, computed gather-free as a
+    # comparison count: the (P,) int gather lowers to a serialised TPU
+    # gather (~17 ms at B=4320) while this (P, P) masked count fuses
+    # like one DBSCAN pass (~4 ms).  Exact: pure integer counting.
+    cnt = jnp.sum(
+        (is_root[None, :] & (idx[None, :] <= raw[:, None])).astype(
+            jnp.int32
+        ),
+        axis=-1,
     )
+    rank_of = jnp.where((raw >= 0) & (raw < p), cnt - 1, -1)
     out = jnp.where((raw == _INT_INF) | (rank_of >= max_clusters), -1, rank_of)
     n_clusters = jnp.minimum(
         jnp.sum(is_root.astype(jnp.int32)), max_clusters

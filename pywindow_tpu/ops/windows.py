@@ -38,7 +38,7 @@ from pywindow_tpu.ops.geometry import (
     center_of_mass,
     clearance_diff,
     clearance_field,
-    max_dim,
+    max_dim_value,
     pore_diameter,
 )
 from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize, lbfgsb_minimize_stable
@@ -406,7 +406,7 @@ def find_windows(
 
     shifted = mol._replace(coords=mol.coords - centre[None, :])
 
-    _, _, md = max_dim(shifted)
+    md = max_dim_value(shifted)
     radius = md / 2.0
     points = rays.golden_spiral(n_points, radius, dtype=dtype)
     eps = rays.mean_knn_eps_scaled(n_points, radius)

@@ -143,10 +143,10 @@ def max_safe_batch(
 
 @functools.lru_cache(maxsize=8)
 def _jit_batch_maxd():
-    from pywindow_tpu.ops.geometry import max_dim
+    from pywindow_tpu.ops.geometry import max_dim_value
 
     return jax.jit(
-        lambda m: jnp.max(jax.vmap(lambda x: max_dim(x)[2])(m))
+        lambda m: jnp.max(jax.vmap(max_dim_value)(m))
     )
 
 
@@ -358,18 +358,9 @@ def sweep_uniform(
     sizes (same key as the generic pre-scan path) so results match the
     serial per-frame path bit-for-bit at log10 boundaries.
     """
-    from pywindow_tpu.config import default_dtype, pad_multiple
-    from pywindow_tpu.ops.encoding import (
-        FAR_AWAY,
-        _encode_host,
-        round_up,
-    )
-
     f_total, n, _ = coords.shape
     if f_total == 0:
         return
-    dtype = np.dtype(default_dtype())
-    n_pad = round_up(max(n, 1), pad_multiple())
 
     if exact_sizes:
         buckets: dict = {}
@@ -394,31 +385,149 @@ def sweep_uniform(
         )
         groups = [(np.arange(f_total, dtype=np.int64), ref)]
 
+    for idxs, ref in groups:
+
+        def decode_slab(lo, hi, idxs=idxs):
+            sel = idxs[lo:hi]
+            return coords[sel], maxd_per_frame[sel]
+
+        def group_on_batch(pos, results, idxs=idxs):
+            on_batch(idxs[pos], results)
+
+        _sweep_frames(
+            elements,
+            len(idxs),
+            decode_slab,
+            group_on_batch,
+            cfg,
+            batch_size,
+            ref=ref,
+            bound_maxd=float(np.max(maxd_per_frame[idxs])),
+        )
+
+
+def sweep_stream(
+    elements: np.ndarray,
+    n_frames: int,
+    decode_slab,
+    on_batch,
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    batch_size: int | None = None,
+    reference_max_diameter: float | None = None,
+) -> None:
+    """Overlapped decode -> device sweep (frames share ONE element list).
+
+    Unlike :func:`sweep_uniform` this does NOT need the frames decoded
+    up front: ``decode_slab(lo, hi) -> (coords (k, N, 3) f64, maxd (k,))``
+    decodes frame positions [lo, hi) on demand (a GIL-releasing native
+    call), and the pipeline decodes slab k+1 on a prefetch thread while
+    the device computes chunk k — the decode cost of a long trajectory
+    (~1/3 of the previous end-to-end wall) hides behind device compute.
+
+    The sampling-size pin comes from the largest max-diameter seen so
+    far; if a later slab escalates the discrete sizes, the sweep
+    restarts over the already-decoded frames with the new pin (results
+    are re-delivered through ``on_batch``, overwriting).  Results are
+    identical to the decode-everything-first path: the pin affects
+    results ONLY through the discrete ``static_sizes`` tuple, and the
+    final pass runs the same tuple the up-front maximum would give.
+    """
+    _sweep_frames(
+        elements,
+        n_frames,
+        decode_slab,
+        on_batch,
+        cfg,
+        batch_size,
+        ref=(
+            float(reference_max_diameter)
+            if reference_max_diameter is not None
+            else None
+        ),
+        bound_maxd=None,
+    )
+
+
+def _sweep_frames(
+    elements: np.ndarray,
+    n_frames: int,
+    decode_slab,
+    on_batch,
+    cfg: AnalysisConfig,
+    batch_size: int | None,
+    ref: float | None,
+    bound_maxd: float | None,
+) -> None:
+    """The chunked device pipeline shared by sweep_uniform/sweep_stream.
+
+    ``ref``: the sampling pin, or None to pin from the running decoded
+    maximum.  ``bound_maxd``: the known maximum frame diameter (sizes
+    final, no escalation checks), or None to track the running maximum
+    and restart when the discrete sizes grow (streaming mode).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pywindow_tpu.config import default_dtype, pad_multiple
+    from pywindow_tpu.ops.encoding import (
+        FAR_AWAY,
+        _encode_host,
+        round_up,
+    )
+
+    if n_frames == 0:
+        return
+    n = len(elements)
+    dtype = np.dtype(default_dtype())
+    n_pad = round_up(max(n, 1), pad_multiple())
+
     # constant per-atom fields: one host encode, one device transfer,
-    # reused by every chunk of every group
+    # reused by every chunk
     _, mass, vdw, cov, mask = _encode_host(
         elements, np.zeros((n, 3)), n_pad, dtype
     )
-    # one up-front cast to the pipeline dtype: the per-chunk f64->f32
-    # element casts were ~40% of the host assembly cost of a sweep
-    # (bitwise identical — casts are elementwise, order-free)
-    coords_t = np.ascontiguousarray(coords, dtype=dtype)
+
+    # decoded frames accumulate here (f64 for the escalation retries'
+    # re-encode, pipeline dtype for the tight per-chunk transfers); a
+    # restart never re-decodes
+    co64 = np.empty((n_frames, n, 3), dtype=np.float64)
+    coords_t = np.empty((n_frames, n, 3), dtype=dtype)
+    maxd_pf = np.empty(n_frames, dtype=np.float64)
+    state = {"decoded": 0}
+
+    def decode_into(hi: int) -> None:
+        lo = state["decoded"]
+        co, md = decode_slab(lo, hi)
+        co64[lo:hi] = co
+        coords_t[lo:hi] = co64[lo:hi]
+        maxd_pf[lo:hi] = md
+        state["decoded"] = hi
 
     n_dev = len(jax.devices())
     shard = n_dev > 1
+    streaming = bound_maxd is None
 
-    for idxs, ref in groups:
-        n_win, n_avg, l1, l2 = static_sizes(ref, cfg)
-        # path lengths must cover the group's LARGEST member even when
-        # the sampling pin is smaller (e.g. a caller-pinned reference):
-        # sizing from the pin alone silently truncates ray paths.
-        _, _, l1_b, l2_b = static_sizes(
-            float(np.max(maxd_per_frame[idxs])), cfg
+    def current_sizes() -> tuple:
+        run_max = (
+            bound_maxd
+            if bound_maxd is not None
+            else float(np.max(maxd_pf[: state["decoded"]]))
         )
-        l1, l2 = max(l1, l1_b), max(l2, l2_b)
-        safe = max_safe_batch(n_pad, ref, cfg)
+        pin = ref if ref is not None else run_max
+        n_win, n_avg, l1, l2 = static_sizes(pin, cfg)
+        # path lengths must cover the LARGEST member even when the
+        # sampling pin is smaller (e.g. a caller-pinned reference):
+        # sizing from the pin alone silently truncates ray paths.
+        _, _, l1_b, l2_b = static_sizes(run_max, cfg)
+        return pin, (n_win, n_avg, max(l1, l1_b), max(l2, l2_b))
+
+    while True:  # streaming restarts when the discrete sizes escalate
+        if state["decoded"] == 0:
+            decode_into(min(n_frames, batch_size or 4320))
+        pin, sizes = current_sizes()
+        n_win, n_avg, l1, l2 = sizes
+        safe = max_safe_batch(n_pad, pin, cfg)
         c = safe if batch_size is None else min(int(batch_size), safe)
-        c = max(1, min(c, len(idxs)))
+        c = max(1, min(c, n_frames))
         if shard:
             c = pad_batch_to_devices(c, n_dev)
         fields_dev = tuple(
@@ -455,52 +564,96 @@ def sweep_uniform(
         reuse_bufs = jax.default_backend() != "cpu"
         bufs = [np.empty((c, n, 3), dtype=dtype) for _ in range(2)]
 
-        def dispatch(part, k):
+        def dispatch(lo, hi, k):
             buf = (
                 bufs[k % 2]
                 if reuse_bufs
                 else np.empty((c, n, 3), dtype=dtype)
             )
-            lo, hi = int(part[0]), int(part[-1]) + 1
-            if hi - lo == len(part):
-                buf[: len(part)] = coords_t[lo:hi]  # contiguous slice
-            else:
-                buf[: len(part)] = coords_t[part]
+            buf[: hi - lo] = coords_t[lo:hi]
             # padding slots replay the chunk's first frame (results
             # sliced off on collect) so every chunk runs ONE shape
-            if len(part) < c:
-                buf[len(part) :] = coords_t[part[0]]
+            if hi - lo < c:
+                buf[hi - lo :] = coords_t[lo]
             mols = MolArrays(_pad_dev(jnp.asarray(buf)), *fields_dev)
-            return (fn(mols), len(part), cfg, ref)
+            return (fn(mols), hi - lo, cfg, pin)
 
-        def finish(part, handle):
+        def finish(lo, hi, handle):
             results = collect_batch(handle)
             results = retry_saturated_windows(
-                [(elements, coords[i]) for i in part],
+                [(elements, co64[i]) for i in range(lo, hi)],
                 results,
                 cfg,
-                reference_max_diameter=ref,
+                reference_max_diameter=pin,
             )
-            on_batch(part, results)
+            on_batch(np.arange(lo, hi, dtype=np.int64), results)
 
-        # one-deep pipeline + a single collector thread: while the
-        # device crunches chunk k+1 and the MAIN thread assembles and
-        # transfers chunk k+2, the collector fetches chunk k's results
-        # (np.asarray releases the GIL during the device->host transfer)
-        # and converts them to dicts.  ONE worker keeps on_batch calls
-        # strictly ordered; exceptions surface at .result().
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=1) as collector:
+        # one-deep pipeline, a single collector thread and a single
+        # decoder thread: while the device crunches chunk k and the
+        # MAIN thread assembles and transfers chunk k+1, the decoder
+        # parses slab k+2's text (native call, GIL released) and the
+        # collector fetches chunk k-1's results (np.asarray releases
+        # the GIL during the device->host transfer) and converts them
+        # to dicts.  ONE collector worker keeps on_batch calls strictly
+        # ordered; exceptions surface at .result().
+        escalated = False
+        with (
+            ThreadPoolExecutor(max_workers=1) as collector,
+            ThreadPoolExecutor(max_workers=1) as decoder,
+        ):
             done = None
-            for k, lo in enumerate(range(0, len(idxs), c)):
-                part = idxs[lo : lo + c]
-                handle = dispatch(part, k)
+            pending = None  # in-flight decode future
+            for k, lo in enumerate(range(0, n_frames, c)):
+                hi = min(lo + c, n_frames)
+                # drain decodes until this chunk's frames are ready
+                while state["decoded"] < hi and not escalated:
+                    if pending is not None:
+                        pending.result()
+                        pending = None
+                    else:
+                        decode_into(
+                            min(state["decoded"] + c, n_frames)
+                        )
+                    escalated = (
+                        streaming and current_sizes()[1] != sizes
+                    )
+                # an already-finished prefetch may also escalate
+                if pending is not None and pending.done():
+                    pending.result()
+                    pending = None
+                    escalated = (
+                        streaming and current_sizes()[1] != sizes
+                    )
+                if escalated:
+                    break
+                # prefetch the next slab while the device computes
+                if pending is None and state["decoded"] < n_frames:
+                    pending = decoder.submit(
+                        decode_into,
+                        min(state["decoded"] + c, n_frames),
+                    )
+                handle = dispatch(lo, hi, k)
                 if done is not None:
                     done.result()
-                done = collector.submit(finish, part, handle)
+                done = collector.submit(finish, lo, hi, handle)
+            # drain both pipelines (also on the escalated break: the
+            # prefetch writes arrays the restart pass reads).  On an
+            # exception the with-blocks join the worker threads.
+            if pending is not None:
+                pending.result()
             if done is not None:
                 done.result()
+        if not escalated:
+            return
+        import logging
+
+        logging.getLogger("pywindow_tpu").info(
+            "sweep sampling sizes escalated mid-stream (%s -> %s); "
+            "restarting over the %d decoded frames",
+            sizes,
+            current_sizes()[1],
+            state["decoded"],
+        )
 
 
 def retry_saturated_windows(

@@ -41,6 +41,12 @@ class TrajectoryError(ValueError):
     """Corrupted or inconsistent trajectory file."""
 
 
+class SweepDecodeError(RuntimeError):
+    """A native slab decode failed mid-sweep (parse error or atom ids
+    diverging from frame 0's) — callers fall back to the generic
+    per-frame path."""
+
+
 def make_supercell(system: dict, supercell=None) -> MolecularSystem:
     """Expand a unit cell into a supercell MolecularSystem
     (reference: trajectory.py:75-100, with the c-axis bug fixed)."""
@@ -171,26 +177,56 @@ class Trajectory:
     #: (F, N, 3) float64); sweeps above it use the generic chunked path.
     _SWEEP_DECODE_BUDGET = 2 * 1024**3
 
-    def _sweep_decode_native(self, frames, swap_atoms, forcefield):
-        """Whole-sweep native decode hook; None = use the generic path.
+    def _sweep_batch_fn(self):
+        """Native whole-sweep decoder hook; None = no native fast path.
 
-        Format subclasses return ``(elements, coords (F, N, 3) f64,
-        per-frame max diameters)`` via :meth:`_sweep_decode_common`.
+        Format subclasses return
+        ``batch_fn(buf, starts, ends, n_atoms, ref_ids, vdw)`` wrapping
+        their native batch decoder.
         """
-        del frames, swap_atoms, forcefield
         return None
 
-    def _sweep_decode_common(self, frames, swap_atoms, forcefield, batch_fn):
-        """Shared fast-path decode: one representative frame through the
-        exact per-frame swap/decipher semantics, then every frame's
-        coordinates in one threaded native call.
+    def _sweep_decode_native(self, frames, swap_atoms, forcefield):
+        """Whole-sweep native decode; None = use the generic path.
 
-        ``batch_fn(buf, starts, ends, n_atoms, ref_ids, vdw)`` wraps the
-        format's native batch decoder.  Returns None (fall back to the
-        generic path) when the native library is unavailable, atom ids
-        vary across frames, any frame fails to parse, or the coordinate
-        block would exceed the memory budget.
+        Returns ``(elements, coords (F, N, 3) f64, per-frame max
+        diameters)`` — the decode-everything-up-front form used by the
+        exact-sizes path and ad-hoc tooling; the streaming sweep uses
+        :meth:`_sweep_open_native` instead.
         """
+        opened = self._sweep_open_native(frames, swap_atoms, forcefield)
+        if opened is None:
+            return None
+        elements, decode_slab, close = opened
+        try:
+            xyz, maxd = decode_slab(0, len(frames))
+        except SweepDecodeError:
+            return None
+        finally:
+            close()
+        return elements, xyz, maxd
+
+    def _sweep_open_native(self, frames, swap_atoms, forcefield):
+        """Open the native slab-decode fast path for ``frames``.
+
+        One representative frame goes through the exact per-frame
+        swap/decipher semantics (same MolecularSystem methods, same
+        exception if elements cannot be derived); coordinates then
+        decode per slab through the format's threaded native call —
+        :func:`pywindow_tpu.parallel.batch.sweep_stream` decodes slab
+        k+1 while the device computes chunk k.
+
+        Returns ``(elements, decode_slab, close)`` or None (native
+        library unavailable, memory budget exceeded, format guards).
+        ``decode_slab(lo, hi)`` decodes frame positions [lo, hi) and
+        returns ``(coords (k, N, 3) f64, maxd (k,))``; it raises
+        :class:`SweepDecodeError` when a frame fails to parse or its
+        atom ids diverge from frame 0's (callers fall back to the
+        generic per-frame path).  ``close()`` releases the file map.
+        """
+        batch_fn = self._sweep_batch_fn()
+        if batch_fn is None:
+            return None
         from pywindow_tpu import native, tables
 
         if native.lib() is None:
@@ -203,9 +239,6 @@ class Trajectory:
             return None
         if len(frames) * n_atoms * 24 > self._SWEEP_DECODE_BUDGET:
             return None
-        # swap/decipher exactly as the per-frame path would (same
-        # MolecularSystem methods, and the same exception if elements
-        # cannot be derived)
         molsys = MolecularSystem.load_system(
             {ids_key: ids0.copy(), "coordinates": np.zeros((n_atoms, 3))},
             "_".join([self.system_id, "sweep"]),
@@ -225,40 +258,33 @@ class Trajectory:
         ends = np.array(
             [self.trajectory_map[f][1] for f in frames], dtype=np.int64
         )
-        with self.filepath.open() as fh:
-            mapped = mmap(fh.fileno(), 0, access=ACCESS_READ)
-            try:
-                buf = np.frombuffer(mapped, dtype=np.uint8)
-                try:
-                    got = batch_fn(buf, starts, ends, n_atoms, ref_ids, vdw)
-                finally:
-                    del buf  # release the buffer export before close
-            finally:
-                mapped.close()
-        if got is None:
-            return None
-        xyz, ids_match, maxd = got
-        if not ids_match:
-            return None
-        return elements, xyz, maxd
+        fh = self.filepath.open()
+        mapped = mmap(fh.fileno(), 0, access=ACCESS_READ)
+        holder = {"buf": np.frombuffer(mapped, dtype=np.uint8)}
 
-    def _analysis_batched_fast(
-        self,
-        todo,
-        decoded,
-        batch_size,
-        reference_max_diameter,
-        autosave,
-        autosave_every,
-        exact_sizes,
-    ) -> None:
-        """Device sweep over natively decoded frames (uniform elements)."""
+        def decode_slab(lo: int, hi: int):
+            got = batch_fn(
+                holder["buf"], starts[lo:hi], ends[lo:hi], n_atoms,
+                ref_ids, vdw,
+            )
+            if got is None:
+                raise SweepDecodeError("native parse failed")
+            xyz, ids_match, maxd = got
+            if not ids_match:
+                raise SweepDecodeError("atom ids vary across frames")
+            return xyz, maxd
+
+        def close() -> None:
+            holder.clear()  # release the buffer export before close
+            mapped.close()
+            fh.close()
+
+        return elements, decode_slab, close
+
+    def _sweep_on_batch(self, todo, n_atoms, autosave, autosave_every):
+        """The per-chunk result recorder shared by the fast/stream sweeps."""
         import gc
 
-        from pywindow_tpu.parallel.batch import sweep_uniform
-
-        elements, coords, maxd = decoded
-        n_atoms = len(elements)
         state = {"collected": 0}
 
         def on_batch(part, results):
@@ -276,6 +302,28 @@ class Trajectory:
                 self.save_analysis(autosave, override=True)
             if state["collected"] % 20 == 0:
                 gc.collect()
+
+        return on_batch
+
+    def _analysis_batched_fast(
+        self,
+        todo,
+        decoded,
+        batch_size,
+        reference_max_diameter,
+        autosave,
+        autosave_every,
+        exact_sizes,
+    ) -> None:
+        """Device sweep over natively decoded frames (uniform elements)."""
+        import gc
+
+        from pywindow_tpu.parallel.batch import sweep_uniform
+
+        elements, coords, maxd = decoded
+        on_batch = self._sweep_on_batch(
+            todo, len(elements), autosave, autosave_every
+        )
 
         # the cyclic GC is pathological on long sweeps (see
         # analysis_batched); same suspend + bounded manual collect here
@@ -296,6 +344,50 @@ class Trajectory:
                 gc.enable()
         if autosave is not None:
             self.save_analysis(autosave, override=True)
+
+    def _analysis_batched_stream(
+        self,
+        todo,
+        elements,
+        decode_slab,
+        batch_size,
+        reference_max_diameter,
+        autosave,
+        autosave_every,
+    ) -> bool:
+        """Streamed device sweep: slab decode overlaps device compute
+        (see :func:`pywindow_tpu.parallel.batch.sweep_stream`).
+
+        Returns False when a slab fails to decode mid-sweep (parse
+        error / varying atom ids) — the caller falls back to the
+        generic per-frame path, overwriting any partial results.
+        """
+        import gc
+
+        from pywindow_tpu.parallel.batch import sweep_stream
+
+        on_batch = self._sweep_on_batch(
+            todo, len(elements), autosave, autosave_every
+        )
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            sweep_stream(
+                elements,
+                len(todo),
+                decode_slab,
+                on_batch,
+                batch_size=batch_size,
+                reference_max_diameter=reference_max_diameter,
+            )
+        except SweepDecodeError:
+            return False
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+        if autosave is not None:
+            self.save_analysis(autosave, override=True)
+        return True
 
     # -- analysis ---------------------------------------------------------
 
@@ -389,23 +481,51 @@ class Trajectory:
             return
 
         if not modular and _frame_cache is None:
-            # whole-sweep native fast path: one threaded decode of every
-            # frame (GIL released), constant per-atom fields transferred
-            # once, exact f64 sampling pin from the decoder — falls
-            # through to the generic path when inapplicable (varying
-            # atom ids/counts, huge sweeps, no native library)
-            fast = self._sweep_decode_native(todo, swap_atoms, forcefield)
-            if fast is not None:
-                self._analysis_batched_fast(
-                    todo,
-                    fast,
-                    batch_size=batch_size,
-                    reference_max_diameter=reference_max_diameter,
-                    autosave=autosave,
-                    autosave_every=autosave_every,
-                    exact_sizes=exact_sizes,
+            # whole-sweep native fast path: threaded native decode (GIL
+            # released), constant per-atom fields transferred once,
+            # exact f64 sampling pin from the decoder — falls through
+            # to the generic path when inapplicable (varying atom
+            # ids/counts, huge sweeps, no native library).  The default
+            # route STREAMS: slab k+1 decodes while the device computes
+            # chunk k (the up-front whole-trajectory decode was ~1/3 of
+            # end-to-end wall); exact_sizes needs every frame's max
+            # diameter before the first dispatch, so it keeps the
+            # decode-everything form.
+            if not exact_sizes:
+                opened = self._sweep_open_native(
+                    todo, swap_atoms, forcefield
                 )
-                return
+                if opened is not None:
+                    elements, decode_slab, close = opened
+                    try:
+                        ok = self._analysis_batched_stream(
+                            todo,
+                            elements,
+                            decode_slab,
+                            batch_size=batch_size,
+                            reference_max_diameter=reference_max_diameter,
+                            autosave=autosave,
+                            autosave_every=autosave_every,
+                        )
+                    finally:
+                        close()
+                    if ok:
+                        return
+            else:
+                fast = self._sweep_decode_native(
+                    todo, swap_atoms, forcefield
+                )
+                if fast is not None:
+                    self._analysis_batched_fast(
+                        todo,
+                        fast,
+                        batch_size=batch_size,
+                        reference_max_diameter=reference_max_diameter,
+                        autosave=autosave,
+                        autosave_every=autosave_every,
+                        exact_sizes=exact_sizes,
+                    )
+                    return
 
         if batch_size is None:
             batch_size = 256  # generic path: bounds decoded-frame memory
@@ -907,7 +1027,7 @@ class DLPOLY(Trajectory):
         self._keytrj = keytrj
         self._imcon = imcon
 
-    def _sweep_decode_native(self, frames, swap_atoms, forcefield):
+    def _sweep_batch_fn(self):
         from pywindow_tpu import native
 
         keytrj = getattr(self, "_keytrj", None)
@@ -916,13 +1036,10 @@ class DLPOLY(Trajectory):
         has_cell = self._imcon in (1, 2, 3)
         if not has_cell and self._imcon != 0:
             return None
-        return self._sweep_decode_common(
-            frames,
-            swap_atoms,
-            forcefield,
-            lambda buf, s, e, n, rid, vdw: native.decode_dlpoly_frames_batch(
+        return lambda buf, s, e, n, rid, vdw: (
+            native.decode_dlpoly_frames_batch(
                 buf, s, e, keytrj, has_cell, n, rid, vdw=vdw
-            ),
+            )
         )
 
     def _decode_raw(self, raw: str) -> dict:
@@ -1108,16 +1225,11 @@ class XYZ(Trajectory):
         )
         return out
 
-    def _sweep_decode_native(self, frames, swap_atoms, forcefield):
+    def _sweep_batch_fn(self):
         from pywindow_tpu import native
 
-        return self._sweep_decode_common(
-            frames,
-            swap_atoms,
-            forcefield,
-            lambda buf, s, e, n, rid, vdw: native.decode_xyz_frames_batch(
-                buf, s, e, n, rid, vdw=vdw
-            ),
+        return lambda buf, s, e, n, rid, vdw: (
+            native.decode_xyz_frames_batch(buf, s, e, n, rid, vdw=vdw)
         )
 
 
@@ -1177,16 +1289,11 @@ class PDB(Trajectory):
             self._frame_slice(frame_no).decode("utf-8")
         )
 
-    def _sweep_decode_native(self, frames, swap_atoms, forcefield):
+    def _sweep_batch_fn(self):
         from pywindow_tpu import native
 
-        return self._sweep_decode_common(
-            frames,
-            swap_atoms,
-            forcefield,
-            lambda buf, s, e, n, rid, vdw: native.decode_pdb_frames_batch(
-                buf, s, e, n, rid, vdw=vdw
-            ),
+        return lambda buf, s, e, n, rid, vdw: (
+            native.decode_pdb_frames_batch(buf, s, e, n, rid, vdw=vdw)
         )
 
     def _decode_raw_pdb(self, raw: str) -> dict:

@@ -519,7 +519,7 @@ def test_fast_sweep_matches_generic_batched():
         pytest.skip("native library unavailable")
     t1 = pw.DLPOLY(HISTORY)
     t2 = pw.DLPOLY(HISTORY)
-    t2._sweep_decode_native = lambda *a, **k: None  # force generic
+    t2._sweep_batch_fn = lambda: None  # force generic (blocks stream + fast)
     kw = dict(
         swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=8,
         reference_max_diameter=23.6,
@@ -604,7 +604,7 @@ def test_fast_sweep_xyz_and_resume(tmp_path):
     )
     assert save.exists()
     t2 = pw.XYZ(out)
-    t2._sweep_decode_native = lambda *a, **k: None
+    t2._sweep_batch_fn = lambda: None  # force generic
     t2.analysis_batched(
         swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=2,
         reference_max_diameter=23.6,
@@ -661,7 +661,7 @@ def test_fast_sweep_pdb_matches_generic(tmp_path):
         reference_max_diameter=23.6,
     )
     t2 = pw.PDB(out)
-    t2._sweep_decode_native = lambda *a, **k: None
+    t2._sweep_batch_fn = lambda: None  # force generic
     t2.analysis_batched(
         swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=2,
         reference_max_diameter=23.6,
@@ -676,3 +676,96 @@ def test_fast_sweep_pdb_matches_generic(tmp_path):
             assert wa is None
         else:
             np.testing.assert_array_equal(np.sort(wa), np.sort(wb))
+
+
+@pytest.mark.slow
+def test_sweep_stream_escalation_matches_uniform(caplog):
+    """A later slab that escalates the discrete sampling sizes restarts
+    the streamed sweep; final results are bitwise equal to the
+    decode-everything-first sweep."""
+    import logging
+
+    from pywindow_tpu import native
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.ops.analysis import max_dim_host, static_sizes
+    from pywindow_tpu.parallel.batch import sweep_stream, sweep_uniform
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    t = pw.DLPOLY(HISTORY)
+    got = t._sweep_decode_native(list(range(4)), {"he": "H"}, "OPLS")
+    el, co, _ = got
+    # last 4 frames scaled up: a larger maximum diameter that flips the
+    # discrete sampling sizes between slab 1 and slab 2
+    coords = np.concatenate([co, co * 1.35])
+    maxd = np.array([max_dim_host(el, c) for c in coords])
+    assert static_sizes(float(maxd[:4].max()), DEFAULT_CONFIG) != (
+        static_sizes(float(maxd.max()), DEFAULT_CONFIG)
+    )
+
+    got_u: dict = {}
+    got_s: dict = {}
+    sweep_uniform(
+        el, coords, maxd,
+        lambda part, res: got_u.update(zip(map(int, part), res)),
+        batch_size=4,
+    )
+    with caplog.at_level(logging.INFO, logger="pywindow_tpu"):
+        sweep_stream(
+            el, len(coords),
+            lambda lo, hi: (coords[lo:hi], maxd[lo:hi]),
+            lambda part, res: got_s.update(zip(map(int, part), res)),
+            batch_size=4,
+        )
+    assert any("escalated mid-stream" in r.message for r in caplog.records)
+    assert sorted(got_s) == list(range(len(coords)))
+    for f in got_u:
+        a, b = got_u[f], got_s[f]
+        assert (
+            a["pore_diameter"]["diameter"] == b["pore_diameter"]["diameter"]
+        )
+        assert a["average_diameter"] == b["average_diameter"]
+        wa, wb = a["windows"]["diameters"], b["windows"]["diameters"]
+        if wb is None:
+            assert wa is None
+        else:
+            np.testing.assert_array_equal(np.sort(wa), np.sort(wb))
+
+
+@pytest.mark.slow
+def test_stream_decode_failure_falls_back_to_generic(tmp_path):
+    """Atom ids diverging in a later frame abort the streamed sweep
+    mid-flight; analysis_batched falls back to the generic per-frame
+    path and still produces every frame's results."""
+    from pywindow_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    t0 = pw.DLPOLY(HISTORY)
+    blocks = []
+    for f in range(4):
+        s = t0.get_frames(f, override=True)[f].system
+        ids = list(s["atom_ids"])
+        if f >= 2:
+            # swap two different ids: frame 2+ diverges from frame 0's
+            # id block but still deciphers frame-locally
+            i_c = ids.index("ca")
+            i_n = ids.index("ni")
+            ids[i_c], ids[i_n] = ids[i_n], ids[i_c]
+        lines = [str(len(ids)), f"frame {f}"]
+        lines += [
+            f"{el} {x:.6f} {y:.6f} {z:.6f}"
+            for el, (x, y, z) in zip(ids, s["coordinates"])
+        ]
+        blocks.append("\n".join(lines))
+    out = tmp_path / "diverge.xyz"
+    out.write_text("\n".join(blocks) + "\n")
+    t = pw.XYZ(out)
+    t.analysis_batched(
+        swap_atoms={"he": "H"}, forcefield="OPLS", batch_size=2,
+        reference_max_diameter=23.6,
+    )
+    assert sorted(t.analysis_output) == list(range(4))
+    for f in range(4):
+        props = t.analysis_output[f]["0"]
+        assert props["maximum_diameter"]["diameter"] > 0

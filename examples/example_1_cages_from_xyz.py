@@ -44,19 +44,25 @@ EXPECTED = {
 
 
 # NUXHIZ's huge shallow windows (7-8 A) sit on clearance plateaus where
-# float32 rounding flips which kink the window optimisers stop on
-# (~0.22 A spread; scipy releases themselves disagree at the 1e-2 level
-# on this cage in float64).  In float64 parity mode the 0.01 contract
-# holds; in accelerator float32 mode the windows get a plateau-sized
-# tolerance.  The <0.01 A float32 contract is validated on the sharper
-# gate set in scripts/validate_f32.py.
-_ATOL = {"NUXHIZ": 0.3}
+# float32 rounding flips which kink the window optimisers stop on.  The
+# production paths hold the strict 0.01 A contract everywhere: float64
+# parity mode exactly, and f32 with the fused Pallas optimiser kernels
+# at a measured 2.1e-4 A (round 3).  Only the UNROUTED f32 path (jnp
+# optimisers, PYWINDOW_TPU_NO_OPT_PALLAS=1) keeps a plateau allowance
+# (0.043 A measured on TPU in round 2; scipy releases themselves
+# disagree at the 1e-2 level on this cage even in f64).
+_ATOL_UNROUTED_F32 = {"NUXHIZ": 0.05}
 
 
-def _f64_mode() -> bool:
+def _strict_mode() -> bool:
     import jax
 
-    return bool(jax.config.jax_enable_x64)
+    if jax.config.jax_enable_x64:
+        return True
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.ops.analysis import route_pore_stage
+
+    return route_pore_stage(DEFAULT_CONFIG)
 
 
 def main() -> None:
@@ -79,7 +85,11 @@ def main() -> None:
                 expected["windows"]["diameters"]
             )
             expected["windows"].pop("centre_of_mass", None)
-        atol = 0.01 if _f64_mode() else _ATOL.get(name, 0.01)
+        atol = (
+            0.01
+            if _strict_mode()
+            else _ATOL_UNROUTED_F32.get(name, 0.01)
+        )
         check(name, props, expected, atol=atol)
 
 

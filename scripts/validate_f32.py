@@ -67,15 +67,15 @@ GOLD = {
     # example_1, SAYGOR from reference example_5, REYMAL from the
     # CPU-x64 parity run (the reference publishes no REYMAL window
     # values).
-    # NUXHIZ carries a documented 0.05 A allowance for kink-level
-    # backend variation (scipy releases disagree at ~0.01 on this cage
-    # even in f64).  Measured on TPU: 0.043 A with the vmapped jnp
-    # optimisers (round 2), 2.1e-4 A with the fused Pallas optimiser
-    # kernels (round 3) — the production TPU path now meets the strict
-    # 0.01 contract on all seven systems; the allowance stays for the
-    # unrouted paths.
+    # NUXHIZ carries a 0.05 A allowance for kink-level backend
+    # variation (scipy releases disagree at ~0.01 on this cage even in
+    # f64) — but ONLY on the unrouted f32 path (vmapped jnp optimisers,
+    # measured 0.043 A on TPU in round 2).  The production TPU path
+    # (fused Pallas optimiser kernels, round 3) measures 2.1e-4 A and
+    # is held to the strict 0.01 contract like every other system:
+    # ``tol_unrouted`` applies only when ``route_pore_stage`` is False.
     "NUXHIZ": {
-        "tol": 0.05,
+        "tol_unrouted": 0.05,
         "pore": 8.746544980478657,
         "windows": [
             6.503653849037591, 7.269555216539536, 7.903902924542914,
@@ -122,13 +122,18 @@ def run_gate() -> dict:
     """
     import jax
 
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.ops.analysis import route_pore_stage
+
     backend = jax.default_backend()
+    routed = route_pore_stage(DEFAULT_CONFIG)
     worst = 0.0
     ok = True
-    report = {"backend": backend, "systems": {}}
+    report = {"backend": backend, "routed_pallas": bool(routed), "systems": {}}
     for name, gold in GOLD.items():
         gold = dict(gold)
-        tol = gold.pop("tol", 0.01)
+        tol_unrouted = gold.pop("tol_unrouted", 0.01)
+        tol = 0.01 if routed else tol_unrouted
         mol = pw.Molecule(dict(zip(("elements", "coordinates"), load(name))))
         p = mol.full_analysis()
         errs = {}
@@ -153,7 +158,10 @@ def run_gate() -> dict:
         ok = ok and max(errs.values()) < tol
     report["worst_abs_error"] = round(worst, 6)
     report["contract"] = (
-        "< 0.01 A (NUXHIZ plateau windows: documented 0.05 A allowance)"
+        "< 0.01 A on every system"
+        if routed
+        else "< 0.01 A (NUXHIZ plateau windows: 0.05 A on the unrouted"
+        " jnp-optimiser path)"
     )
     report["pass"] = bool(ok)
     return report

@@ -386,8 +386,23 @@ def sweep_uniform(
         groups = [(np.arange(f_total, dtype=np.int64), ref)]
 
     for idxs, ref in groups:
+        # identity group over f64 frames (the whole-sweep fast path):
+        # hand the caller's array to the pipeline as its f64 store
+        # instead of copying all (F, N, 3) bytes again — the duplicate
+        # doubled peak host memory against _SWEEP_DECODE_BUDGET.
+        preloaded = (
+            coords
+            if (
+                len(idxs) == f_total
+                and coords.dtype == np.float64
+                and not exact_sizes
+            )
+            else None
+        )
 
-        def decode_slab(lo, hi, idxs=idxs):
+        def decode_slab(lo, hi, idxs=idxs, preloaded=preloaded):
+            if preloaded is not None:
+                return None, maxd_per_frame[lo:hi]
             sel = idxs[lo:hi]
             return coords[sel], maxd_per_frame[sel]
 
@@ -403,6 +418,7 @@ def sweep_uniform(
             batch_size,
             ref=ref,
             bound_maxd=float(np.max(maxd_per_frame[idxs])),
+            preloaded_co64=preloaded,
         )
 
 
@@ -414,6 +430,7 @@ def sweep_stream(
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     batch_size: int | None = None,
     reference_max_diameter: float | None = None,
+    size_gate: dict | None = None,
 ) -> None:
     """Overlapped decode -> device sweep (frames share ONE element list).
 
@@ -431,6 +448,13 @@ def sweep_stream(
     identical to the decode-everything-first path: the pin affects
     results ONLY through the discrete ``static_sizes`` tuple, and the
     final pass runs the same tuple the up-front maximum would give.
+
+    ``size_gate``: optional dict whose ``"final"`` key the sweep keeps
+    up to date — True exactly while a mid-stream size escalation can no
+    longer occur (all frames decoded, current pass runs the final size
+    tuple).  Callers use it to defer checkpoint writes: a checkpoint
+    taken pre-escalation would mix results computed under a smaller
+    ``static_sizes`` tuple into the resumed sweep.
     """
     _sweep_frames(
         elements,
@@ -445,6 +469,7 @@ def sweep_stream(
             else None
         ),
         bound_maxd=None,
+        size_gate=size_gate,
     )
 
 
@@ -457,6 +482,8 @@ def _sweep_frames(
     batch_size: int | None,
     ref: float | None,
     bound_maxd: float | None,
+    size_gate: dict | None = None,
+    preloaded_co64: np.ndarray | None = None,
 ) -> None:
     """The chunked device pipeline shared by sweep_uniform/sweep_stream.
 
@@ -464,6 +491,10 @@ def _sweep_frames(
     maximum.  ``bound_maxd``: the known maximum frame diameter (sizes
     final, no escalation checks), or None to track the running maximum
     and restart when the discrete sizes grow (streaming mode).
+    ``size_gate``: see :func:`sweep_stream`.  ``preloaded_co64``: the
+    already-decoded (n_frames, N, 3) float64 frames — used directly as
+    the sweep's f64 store (``decode_slab`` then only supplies the
+    per-frame max diameters), avoiding a second full-size host copy.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -489,7 +520,11 @@ def _sweep_frames(
     # decoded frames accumulate here (f64 for the escalation retries'
     # re-encode, pipeline dtype for the tight per-chunk transfers); a
     # restart never re-decodes
-    co64 = np.empty((n_frames, n, 3), dtype=np.float64)
+    co64 = (
+        preloaded_co64
+        if preloaded_co64 is not None
+        else np.empty((n_frames, n, 3), dtype=np.float64)
+    )
     coords_t = np.empty((n_frames, n, 3), dtype=dtype)
     maxd_pf = np.empty(n_frames, dtype=np.float64)
     state = {"decoded": 0}
@@ -497,7 +532,8 @@ def _sweep_frames(
     def decode_into(hi: int) -> None:
         lo = state["decoded"]
         co, md = decode_slab(lo, hi)
-        co64[lo:hi] = co
+        if co is not None:
+            co64[lo:hi] = co
         coords_t[lo:hi] = co64[lo:hi]
         maxd_pf[lo:hi] = md
         state["decoded"] = hi
@@ -524,6 +560,13 @@ def _sweep_frames(
         if state["decoded"] == 0:
             decode_into(min(n_frames, batch_size or 4320))
         pin, sizes = current_sizes()
+        if size_gate is not None:
+            # the size tuple is final once every frame is decoded; a
+            # pass that starts earlier may still escalate, so callers
+            # must not checkpoint its results yet
+            size_gate["final"] = (
+                not streaming or state["decoded"] == n_frames
+            )
         n_win, n_avg, l1, l2 = sizes
         safe = max_safe_batch(n_pad, pin, cfg)
         c = safe if batch_size is None else min(int(batch_size), safe)
@@ -626,6 +669,14 @@ def _sweep_frames(
                     )
                 if escalated:
                     break
+                if (
+                    size_gate is not None
+                    and pending is None
+                    and state["decoded"] == n_frames
+                ):
+                    # all decodes finished and survived the escalation
+                    # checks: this pass runs the final size tuple
+                    size_gate["final"] = True
                 # prefetch the next slab while the device computes
                 if pending is None and state["decoded"] < n_frames:
                     pending = decoder.submit(

@@ -259,8 +259,17 @@ class Trajectory:
             [self.trajectory_map[f][1] for f in frames], dtype=np.int64
         )
         fh = self.filepath.open()
-        mapped = mmap(fh.fileno(), 0, access=ACCESS_READ)
-        holder = {"buf": np.frombuffer(mapped, dtype=np.uint8)}
+        try:
+            mapped = mmap(fh.fileno(), 0, access=ACCESS_READ)
+        except (ValueError, OSError):
+            fh.close()  # empty/truncated file: mmap(0 bytes) raises
+            return None
+        try:
+            holder = {"buf": np.frombuffer(mapped, dtype=np.uint8)}
+        except ValueError:
+            mapped.close()
+            fh.close()
+            return None
 
         def decode_slab(lo: int, hi: int):
             got = batch_fn(
@@ -281,8 +290,17 @@ class Trajectory:
 
         return elements, decode_slab, close
 
-    def _sweep_on_batch(self, todo, n_atoms, autosave, autosave_every):
-        """The per-chunk result recorder shared by the fast/stream sweeps."""
+    def _sweep_on_batch(
+        self, todo, n_atoms, autosave, autosave_every, size_gate=None
+    ):
+        """The per-chunk result recorder shared by the fast/stream sweeps.
+
+        ``size_gate``: the streaming sweep's escalation flag (see
+        :func:`pywindow_tpu.parallel.batch.sweep_stream`) — autosave
+        checkpoints are suppressed while a mid-stream sampling-size
+        escalation is still possible, so a resumed sweep never mixes
+        results computed under different size tuples.
+        """
         import gc
 
         state = {"collected": 0}
@@ -296,8 +314,10 @@ class Trajectory:
                     "0"
                 ] = props
             state["collected"] += 1
-            if autosave is not None and (
-                state["collected"] % max(autosave_every, 1) == 0
+            if (
+                autosave is not None
+                and state["collected"] % max(autosave_every, 1) == 0
+                and (size_gate is None or size_gate.get("final"))
             ):
                 self.save_analysis(autosave, override=True)
             if state["collected"] % 20 == 0:
@@ -366,8 +386,10 @@ class Trajectory:
 
         from pywindow_tpu.parallel.batch import sweep_stream
 
+        size_gate: dict = {"final": False}
         on_batch = self._sweep_on_batch(
-            todo, len(elements), autosave, autosave_every
+            todo, len(elements), autosave, autosave_every,
+            size_gate=size_gate,
         )
         gc_was_enabled = gc.isenabled()
         gc.disable()
@@ -379,6 +401,7 @@ class Trajectory:
                 on_batch,
                 batch_size=batch_size,
                 reference_max_diameter=reference_max_diameter,
+                size_gate=size_gate,
             )
         except SweepDecodeError:
             return False

@@ -695,11 +695,15 @@ def test_sweep_stream_escalation_matches_uniform(caplog):
     t = pw.DLPOLY(HISTORY)
     got = t._sweep_decode_native(list(range(4)), {"he": "H"}, "OPLS")
     el, co, _ = got
-    # last 4 frames scaled up: a larger maximum diameter that flips the
-    # discrete sampling sizes between slab 1 and slab 2
-    coords = np.concatenate([co, co * 1.35])
+    # second half scaled up: a larger maximum diameter that flips the
+    # discrete sampling sizes between slab 1 and slab 2.  Each half is
+    # one full device-padded chunk (8 virtual devices in the harness),
+    # so the streamed sweep delivers chunk 1 BEFORE the escalation is
+    # detected — exercising the pre-escalation checkpoint gate.
+    half = np.concatenate([co, co])
+    coords = np.concatenate([half, half * 1.35])
     maxd = np.array([max_dim_host(el, c) for c in coords])
-    assert static_sizes(float(maxd[:4].max()), DEFAULT_CONFIG) != (
+    assert static_sizes(float(maxd[:8].max()), DEFAULT_CONFIG) != (
         static_sizes(float(maxd.max()), DEFAULT_CONFIG)
     )
 
@@ -708,17 +712,30 @@ def test_sweep_stream_escalation_matches_uniform(caplog):
     sweep_uniform(
         el, coords, maxd,
         lambda part, res: got_u.update(zip(map(int, part), res)),
-        batch_size=4,
+        batch_size=8,
     )
+    gate: dict = {"final": False}
+    gate_log: list = []
+
+    def rec_s(part, res):
+        got_s.update(zip(map(int, part), res))
+        gate_log.append(bool(gate["final"]))
+
     with caplog.at_level(logging.INFO, logger="pywindow_tpu"):
         sweep_stream(
             el, len(coords),
             lambda lo, hi: (coords[lo:hi], maxd[lo:hi]),
-            lambda part, res: got_s.update(zip(map(int, part), res)),
-            batch_size=4,
+            rec_s,
+            batch_size=8,
+            size_gate=gate,
         )
     assert any("escalated mid-stream" in r.message for r in caplog.records)
     assert sorted(got_s) == list(range(len(coords)))
+    # checkpoint gate: pre-escalation deliveries are flagged non-final
+    # (autosave suppressed), the final pass flips to final and stays
+    assert gate_log[0] is False and gate_log[-1] is True
+    first_true = gate_log.index(True)
+    assert all(gate_log[first_true:])
     for f in got_u:
         a, b = got_u[f], got_s[f]
         assert (

@@ -99,6 +99,117 @@ def read_mol_v3000_lines(lines: list[str]) -> dict:
     return system
 
 
+def read_mol2_lines(lines: list[str]) -> dict:
+    """TRIPOS MOL2 block -> system dict.
+
+    The reference reaches mol2 files only through RDKit
+    (reference: examples/example_2.py:63 via ``Chem.MolFromMol2File``,
+    then io_tools.py:80-104); this host parser covers the same inputs
+    without the optional dependency.  Element symbols come from the
+    SYBYL atom-type column (``N.2`` -> ``N``), which is what RDKit's
+    Mol2 reader assigns as the atomic symbol.  All atoms are kept —
+    RDKit's default hydrogen stripping is the caller's concern (see
+    :func:`rdkit_like_mol`).
+    """
+    section = None
+    elements: list[str] = []
+    coordinates: list[list[float]] = []
+    try:
+        for raw in lines:
+            s = raw.strip()
+            if s.startswith("@<TRIPOS>"):
+                section = s[len("@<TRIPOS>") :]
+                continue
+            if section == "ATOM" and s:
+                parts = s.split()
+                # atom_id atom_name x y z atom_type [subst_id subst charge]
+                elements.append(parts[5].split(".")[0])
+                coordinates.append([float(x) for x in parts[2:5]])
+    except (IndexError, ValueError):
+        raise CorruptedFileError("malformed @<TRIPOS>ATOM record") from None
+    if not elements:
+        msg = "no @<TRIPOS>ATOM records found in mol2 file"
+        raise CorruptedFileError(msg)
+    return {
+        "elements": np.array(elements),
+        "coordinates": np.array(coordinates, dtype=float),
+    }
+
+
+class _RdkitLikePosition:
+    __slots__ = ("x", "y", "z")
+
+    def __init__(self, xyz) -> None:
+        self.x, self.y, self.z = (float(v) for v in xyz)
+
+
+class _RdkitLikeAtom:
+    __slots__ = ("_idx", "_symbol")
+
+    def __init__(self, idx: int, symbol: str) -> None:
+        self._idx = idx
+        self._symbol = symbol
+
+    def GetIdx(self) -> int:  # noqa: N802 - rdkit API casing
+        return self._idx
+
+    def GetSymbol(self) -> str:  # noqa: N802
+        return self._symbol
+
+
+class _RdkitLikeConformer:
+    __slots__ = ("_coordinates",)
+
+    def __init__(self, coordinates: np.ndarray) -> None:
+        self._coordinates = coordinates
+
+    def GetAtomPosition(self, idx: int) -> _RdkitLikePosition:  # noqa: N802
+        return _RdkitLikePosition(self._coordinates[idx])
+
+
+class _RdkitLikeMol:
+    """Duck-typed stand-in for ``rdkit.Chem.Mol`` (read-only subset).
+
+    Implements exactly the surface :meth:`Input.load_rdkit_mol` touches
+    (reference io_tools.py:80-104): ``GetNumAtoms``, ``GetAtoms`` ->
+    ``GetIdx``/``GetSymbol``, ``GetConformer`` -> ``GetAtomPosition``
+    with ``.x/.y/.z``.
+    """
+
+    __slots__ = ("_elements", "_coordinates")
+
+    def __init__(self, elements: np.ndarray, coordinates: np.ndarray) -> None:
+        self._elements = elements
+        self._coordinates = coordinates
+
+    def GetNumAtoms(self) -> int:  # noqa: N802
+        return len(self._elements)
+
+    def GetAtoms(self):  # noqa: N802
+        return [
+            _RdkitLikeAtom(i, str(sym)) for i, sym in enumerate(self._elements)
+        ]
+
+    def GetConformer(self) -> _RdkitLikeConformer:  # noqa: N802
+        return _RdkitLikeConformer(self._coordinates)
+
+
+def rdkit_like_mol(system: dict, remove_hs: bool = True) -> _RdkitLikeMol:
+    """Wrap a system dict as an RDKit-Mol-shaped object.
+
+    ``remove_hs=True`` mirrors ``Chem.MolFromMol2File``'s default
+    hydrogen stripping (the mode reference examples/example_2.py
+    validates: 168-atom PUDXES.mol2 -> 84 heavy atoms).  Lets the
+    RDKit input path run — and be tested — without rdkit installed.
+    """
+    elements = np.asarray(system["elements"])
+    coordinates = np.asarray(system["coordinates"], dtype=float)
+    if remove_hs:
+        keep = np.array([str(e).upper() != "H" for e in elements])
+        elements, coordinates = elements[keep], coordinates[keep]
+    return _RdkitLikeMol(elements, coordinates)
+
+
 class Input:
     """Load structures from files or RDKit molecules
     (reference: io_tools.py:42-104)."""
@@ -107,6 +218,7 @@ class Input:
         ".xyz": read_xyz_lines,
         ".pdb": read_pdb_lines,
         ".mol": read_mol_v3000_lines,
+        ".mol2": read_mol2_lines,
     }
 
     def load_file(self, filepath: pathlib.Path | str) -> dict:
@@ -118,7 +230,7 @@ class Input:
         if reader is None:
             msg = (
                 f"unsupported input extension {filepath.suffix!r}; "
-                "use .xyz, .pdb or .mol (V3000)"
+                "use .xyz, .pdb, .mol (V3000) or .mol2"
             )
             raise FileTypeError(msg)
         with filepath.open() as fh:

@@ -28,7 +28,6 @@ from pywindow_tpu.ops.cell import (
     lattice_array_to_unit_cell,
     unit_cell_to_lattice_array,
 )
-from pywindow_tpu.utilities import is_number
 
 
 #: frames held by the exact-sizes pre-scan cache before falling back to

@@ -25,7 +25,7 @@ from pywindow_tpu.ops import rays
 from pywindow_tpu.ops.analysis import max_dim_host, static_sizes
 from pywindow_tpu.ops.cluster import dbscan
 from pywindow_tpu.ops.encoding import encode
-from pywindow_tpu.ops.geometry import BIG, center_of_mass, clearance_field, max_dim, pore_diameter
+from pywindow_tpu.ops.geometry import center_of_mass, clearance_field, max_dim, pore_diameter
 from pywindow_tpu.ops.lbfgsb import lbfgsb_minimize
 from pywindow_tpu.ops.windows import _window_refine
 

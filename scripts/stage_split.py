@@ -31,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp
 
 import pywindow_tpu as pw
-from pywindow_tpu.config import DEFAULT_CONFIG, effective_budgets
+from pywindow_tpu.config import DEFAULT_CONFIG
 from pywindow_tpu.ops import rays
 from pywindow_tpu.ops.analysis import (
     full_analysis_device,

@@ -32,6 +32,19 @@ def test_api_docs_generate_fully_documented(tmp_path):
     assert (out / "README.md").exists()
 
 
+def test_lint_basic_clean():
+    """The in-image lint (syntax + unused imports) stays clean.
+
+    CI runs the real ruff/mypy jobs (.github/workflows/tests.yaml);
+    this keeps the tree clean between CI runs in the tool-less image.
+    """
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "lint_basic.py")],
+        capture_output=True, text=True, check=False, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout
+
+
 def test_sphinx_modules_rst_names_importable_modules():
     import importlib
 

@@ -14,7 +14,11 @@ from pywindow_tpu.io.forcefield import (
     dlf_notation,
     opls_notation,
 )
-from pywindow_tpu.io.inputs import CorruptedFileError, Input
+from pywindow_tpu.io.inputs import (
+    CorruptedFileError,
+    Input,
+    rdkit_like_mol,
+)
 from tests.conftest import DATA
 
 
@@ -23,6 +27,88 @@ def test_read_xyz():
     assert len(system["elements"]) == 168
     assert system["coordinates"].shape == (168, 3)
     assert system["elements"][0] in ("C", "N", "H")
+
+
+def test_read_mol2():
+    system = Input().load_file(DATA / "PUDXES.mol2")
+    assert len(system["elements"]) == 168
+    assert system["coordinates"].shape == (168, 3)
+    # SYBYL type column supplies the symbol: N.2 -> N
+    assert system["elements"][0] == "N"
+    np.testing.assert_allclose(
+        system["coordinates"][0], [13.3040, 13.5150, 6.8900]
+    )
+
+
+def test_read_mol2_corrupt(tmp_path):
+    p = tmp_path / "bad.mol2"
+    p.write_text("@<TRIPOS>MOLECULE\nname\n")
+    with pytest.raises(CorruptedFileError):
+        Input().load_file(p)
+    p.write_text("@<TRIPOS>ATOM\n1 N1 nan_oops\n")
+    with pytest.raises(CorruptedFileError):
+        Input().load_file(p)
+
+
+def test_load_rdkit_mol_duck_typed():
+    """Drive Input.load_rdkit_mol through an rdkit-Mol-shaped object.
+
+    Mirrors the reference's RDKit entry (io_tools.py:80-104) without
+    the optional dependency: hydrogen stripping matches
+    Chem.MolFromMol2File's default (168-atom PUDXES.mol2 -> 84 heavy
+    atoms, the system reference examples/example_2.py validates).
+    """
+    raw = Input().load_file(DATA / "PUDXES.mol2")
+    mol84 = rdkit_like_mol(raw)  # remove_hs=True default
+    system = Input().load_rdkit_mol(mol84)
+    assert len(system["elements"]) == 84
+    assert not np.any(system["elements"] == "H")
+    mol168 = rdkit_like_mol(raw, remove_hs=False)
+    full = Input().load_rdkit_mol(mol168)
+    np.testing.assert_array_equal(full["elements"], raw["elements"])
+    np.testing.assert_allclose(full["coordinates"], raw["coordinates"])
+
+
+def test_rdkit_mol_system_golden():
+    """84-atom no-H PUDXES via load_rdkit_mol: reference example_2
+    goldens for the cheap properties (pore 5.3970201773100097, max
+    diameter 21.77602100564755, COM 12.4^3)."""
+    raw = Input().load_file(DATA / "PUDXES.mol2")
+    molsys = pw.MolecularSystem.load_rdkit_mol(rdkit_like_mol(raw))
+    mol = molsys.system_to_molecule()
+    assert mol.no_of_atoms == 84
+    np.testing.assert_allclose(
+        mol.calculate_centre_of_mass(), [12.4] * 3, atol=1e-7
+    )
+    assert abs(
+        mol.calculate_pore_diameter() - 5.3970201773100097
+    ) < 1e-8
+    assert abs(
+        mol.calculate_maximum_diameter() - 21.77602100564755
+    ) < 1e-8
+
+
+@pytest.mark.slow
+def test_rdkit_mol_full_analysis_golden():
+    """Full analysis of the 84-atom RDKit-path system vs reference
+    examples/example_2.py:17-48 goldens (pore_opt 5.397020177310047,
+    avg 13.599974908590866, 4 windows ~3.629-3.637)."""
+    raw = Input().load_file(DATA / "PUDXES.mol2")
+    molsys = pw.MolecularSystem.load_rdkit_mol(rdkit_like_mol(raw))
+    mol = molsys.system_to_molecule()
+    props = mol.full_analysis()
+    assert abs(
+        props["pore_diameter_opt"]["diameter"] - 5.397020177310047
+    ) < 0.01
+    assert abs(
+        props["average_diameter"] - 13.599974908590866
+    ) < 0.01
+    got = np.sort(props["windows"]["diameters"])
+    expect = np.sort(
+        [3.63748192, 3.63649472, 3.62912867, 3.63426077]
+    )
+    assert got.shape == (4,)
+    np.testing.assert_allclose(got, expect, atol=0.01)
 
 
 def test_read_pdb_periodic():

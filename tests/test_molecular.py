@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 import pywindow_tpu as pw
-from tests.conftest import DATA, load_xyz
+from tests.conftest import DATA
 
 
 @pytest.fixture(scope="module")

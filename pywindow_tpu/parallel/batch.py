@@ -227,11 +227,13 @@ def collect_batch(handle) -> list[dict]:
     packed layout is always unpacked with the right window count (and
     the sampling pin the dispatch resolved, for escalation retries).
     """
-    from pywindow_tpu.profiling import METRICS
+    from pywindow_tpu.profiling import METRICS, stage
 
     flat_dev, b, cfg, _ref = handle
-    flat = np.asarray(flat_dev)  # ONE device->host transfer
-    results = to_properties_dicts_bulk(flat[:b], cfg.max_windows)
+    with stage("sweep_fetch"):
+        flat = np.asarray(flat_dev)  # ONE device->host transfer
+    with stage("sweep_to_dicts"):
+        results = to_properties_dicts_bulk(flat[:b], cfg.max_windows)
     METRICS.count("molecules_analysed", b)
     METRICS.count(
         "windows_found",
@@ -498,6 +500,7 @@ def _sweep_frames(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    from pywindow_tpu import profiling
     from pywindow_tpu.config import default_dtype, pad_multiple
     from pywindow_tpu.ops.encoding import (
         FAR_AWAY,
@@ -530,13 +533,14 @@ def _sweep_frames(
     state = {"decoded": 0}
 
     def decode_into(hi: int) -> None:
-        lo = state["decoded"]
-        co, md = decode_slab(lo, hi)
-        if co is not None:
-            co64[lo:hi] = co
-        coords_t[lo:hi] = co64[lo:hi]
-        maxd_pf[lo:hi] = md
-        state["decoded"] = hi
+        with profiling.stage("sweep_decode"):
+            lo = state["decoded"]
+            co, md = decode_slab(lo, hi)
+            if co is not None:
+                co64[lo:hi] = co
+            coords_t[lo:hi] = co64[lo:hi]
+            maxd_pf[lo:hi] = md
+            state["decoded"] = hi
 
     n_dev = len(jax.devices())
     shard = n_dev > 1
@@ -613,13 +617,17 @@ def _sweep_frames(
                 if reuse_bufs
                 else np.empty((c, n, 3), dtype=dtype)
             )
-            buf[: hi - lo] = coords_t[lo:hi]
-            # padding slots replay the chunk's first frame (results
-            # sliced off on collect) so every chunk runs ONE shape
-            if hi - lo < c:
-                buf[hi - lo :] = coords_t[lo]
-            mols = MolArrays(_pad_dev(jnp.asarray(buf)), *fields_dev)
-            return (fn(mols), hi - lo, cfg, pin)
+            with profiling.stage("sweep_assemble"):
+                buf[: hi - lo] = coords_t[lo:hi]
+                # padding slots replay the chunk's first frame (results
+                # sliced off on collect) so every chunk runs ONE shape
+                if hi - lo < c:
+                    buf[hi - lo :] = coords_t[lo]
+            with profiling.stage("sweep_h2d"):
+                tight = jnp.asarray(buf)
+            with profiling.stage("sweep_dispatch"):
+                mols = MolArrays(_pad_dev(tight), *fields_dev)
+                return (fn(mols), hi - lo, cfg, pin)
 
         def finish(lo, hi, handle):
             results = collect_batch(handle)
@@ -629,7 +637,8 @@ def _sweep_frames(
                 cfg,
                 reference_max_diameter=pin,
             )
-            on_batch(np.arange(lo, hi, dtype=np.int64), results)
+            with profiling.stage("sweep_on_batch"):
+                on_batch(np.arange(lo, hi, dtype=np.int64), results)
 
         # one-deep pipeline, a single collector thread and a single
         # decoder thread: while the device crunches chunk k and the
@@ -685,7 +694,8 @@ def _sweep_frames(
                     )
                 handle = dispatch(lo, hi, k)
                 if done is not None:
-                    done.result()
+                    with profiling.stage("sweep_collect_wait"):
+                        done.result()
                 done = collector.submit(finish, lo, hi, handle)
             # drain both pipelines (also on the escalated break: the
             # prefetch writes arrays the restart pass reads).  On an

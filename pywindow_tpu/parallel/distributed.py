@@ -59,6 +59,28 @@ def initialize(
     jax.distributed.initialize(**kwargs)
 
 
+_BARRIER_SEQ: dict[str, int] = {}
+
+
+def _compile_barrier(tag: str, timeout_ms: int = 1_800_000) -> None:
+    """Block until every process reaches this (sequenced) barrier.
+
+    Uses the coordination-service barrier (plain gRPC to the
+    coordinator) rather than a device collective: it must be safe to
+    enter with arbitrary skew, which Gloo collectives are not.  The
+    per-tag sequence number keeps repeated sweeps (escalation retries
+    re-enter with the same shapes) on distinct barrier ids.
+    """
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:  # single-process: nothing to synchronise
+        return
+    seq = _BARRIER_SEQ.get(tag, 0)
+    _BARRIER_SEQ[tag] = seq + 1
+    client.wait_at_barrier(f"pywindow_tpu_{tag}_{seq}", timeout_ms)
+
+
 def _shard_frames(todo: list[int], n_procs: int) -> list[list[int]]:
     """Contiguous equal-size frame shards (padded by repeating the last
     frame) — contiguous so each process reads one byte range."""
@@ -199,7 +221,20 @@ def analysis_batched_distributed(
     fn = _compiled_batch_analysis(
         n_win, n_avg, l1, l2, cfg, mesh_key=("procs", mesh, sharding)
     )
-    out = fn(mols)  # (n_procs * per_dev, K), sharded over hosts x frames
+    if n_procs > 1:
+        # Compile ahead-of-time, then rendezvous at a coordination-
+        # service barrier before executing.  Gloo's communicator setup
+        # has a hard ~30 s key-value deadline; per-process compile
+        # times of the (fresh-shape) pipeline program can differ by
+        # minutes, and a process that starts executing while a peer is
+        # still compiling would time its collectives out.  The gRPC
+        # coordination barrier has its own explicit (long) timeout and
+        # needs no Gloo context.
+        compiled = fn.lower(mols).compile()
+        _compile_barrier(f"sweep_compiled_{n_win}_{l1}_{l2}_{per_dev}")
+        out = compiled(mols)
+    else:
+        out = fn(mols)  # (n_procs*per_dev, K), sharded hosts x frames
 
     # --- gather the packed vectors (the ONLY cross-host traffic) -------
     if n_procs > 1:

@@ -23,6 +23,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 def main() -> None:
     pid, nprocs, port, history, out_json = sys.argv[1:6]
+    # optional 6th arg: analyse only the first K frames ("all" default)
+    # — exercises shard counts that do not divide by the process count
+    n_frames = sys.argv[6] if len(sys.argv) > 6 else "all"
     from pywindow_tpu.parallel import distributed
 
     distributed.initialize(f"127.0.0.1:{port}", int(nprocs), int(pid))
@@ -31,10 +34,14 @@ def main() -> None:
     import pywindow_tpu as pw
 
     traj = pw.DLPOLY(history)
+    frames = "all" if n_frames == "all" else list(range(int(n_frames)))
     distributed.analysis_batched_distributed(
-        traj, swap_atoms={"he": "H"}, forcefield="OPLS"
+        traj, frames=frames, swap_atoms={"he": "H"}, forcefield="OPLS"
     )
-    assert len(traj.analysis_output) == traj.no_of_frames
+    expected = (
+        traj.no_of_frames if n_frames == "all" else int(n_frames)
+    )
+    assert sorted(traj.analysis_output) == list(range(expected))
     traj.save_analysis(out_json, override=True)
     print(f"worker {pid} OK", flush=True)
 

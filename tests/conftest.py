@@ -30,6 +30,31 @@ import pytest  # noqa: E402
 DATA = pathlib.Path(__file__).parent / "data"
 
 
+def pytest_collection_finish(session) -> None:
+    """Disable the persistent compile cache for full-suite-scale runs.
+
+    KNOWN FLAKE (bisected 2026-08-18, see .claude/skills/verify/
+    SKILL.md): one process accumulating ~190 compiled programs can die
+    with a fatal signal inside XLA's executable (de)serialisation on
+    the jax compile-cache path (``put_executable_and_time`` cold, the
+    deserialize path warm).  Every file passes standalone and each
+    suite half passes — the trigger is scale, not repo code.  Since the
+    crash lives entirely in the cache's (de)serialisation, full-suite
+    sessions (the only scale that reaches it) run with the persistent
+    cache off; per-file and ``-m "not slow"`` iteration runs keep it.
+    Escape hatch: PYWINDOW_TPU_KEEP_COMPILE_CACHE=1.
+    """
+    if os.environ.get("PYWINDOW_TPU_KEEP_COMPILE_CACHE") == "1":
+        return
+    slow_files = {
+        item.path
+        for item in session.items
+        if item.get_closest_marker("slow") is not None
+    }
+    if len(slow_files) >= 6:
+        jax.config.update("jax_enable_compilation_cache", False)
+
+
 @pytest.fixture(scope="session")
 def data_dir() -> pathlib.Path:
     return DATA

@@ -104,7 +104,91 @@ def measure_tpu(systems) -> float:
     res0 = unpack_results(flat[0], DEFAULT_CONFIG.max_windows)
     assert abs(float(res0.pore_diameter) - 5.0) < 2.0, res0.pore_diameter
     assert int(np.sum(res0.windows.valid)) >= 1
+    try:
+        measure_tpu.roofline = _roofline(
+            step.lower(mols).compile(), dt
+        )
+    except Exception:
+        measure_tpu.roofline = None
     return KERNEL_BATCH / dt
+
+
+#: v5e single-chip peaks for the roofline accounting (public numbers:
+#: jax-ml.github.io/scaling-book — 197 Tbf16FLOP/s MXU, 819 GB/s HBM;
+#: VPU f32 elementwise ~= 8x128 lanes x 4 ALUs x 0.94 GHz).
+V5E_HBM_GBPS = 819.0
+V5E_MXU_BF16_TFLOPS = 197.0
+V5E_VPU_F32_TFLOPS = 3.85
+
+
+def _roofline(compiled, seconds: float) -> dict | None:
+    """Achieved fraction of the v5e rooflines for one compiled program.
+
+    Uses XLA's own cost analysis (flops + bytes accessed) over the
+    measured steady-state rep time.  The analysis pipeline is
+    VPU/while-loop-bound, not MXU-bound, so the meaningful ceilings are
+    the HBM bandwidth and the f32 VPU rate; both fractions are
+    recorded (the MXU one would read ~0 and mislead).
+    """
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", -1.0))
+        byts = float(ca.get("bytes accessed", -1.0))
+    except Exception:
+        return None
+    if flops <= 0 and byts <= 0:
+        return None
+    out: dict = {}
+    if flops > 0:
+        tf = flops / seconds / 1e12
+        out["achieved_tflops_f32"] = round(tf, 3)
+        out["pct_vpu_f32_roofline"] = round(
+            100.0 * tf / V5E_VPU_F32_TFLOPS, 1
+        )
+    if byts > 0:
+        gbps = byts / seconds / 1e9
+        out["achieved_hbm_gbps"] = round(gbps, 1)
+        out["pct_hbm_roofline"] = round(100.0 * gbps / V5E_HBM_GBPS, 1)
+    return out
+
+
+def measure_kernel_system(path: str, batch: int, reps: int = 2):
+    """Steady-state kernel frames/sec for one structure file, frames
+    replicated to ``batch`` (the large-N ledger workloads: MIBQAR 424
+    atoms, REYMAL 468 atoms)."""
+    import pywindow_tpu as pw
+    from pywindow_tpu.config import DEFAULT_CONFIG
+    from pywindow_tpu.io.inputs import Input
+    from pywindow_tpu.ops.analysis import max_dim_host, static_sizes
+    from pywindow_tpu.ops.encoding import encode_batch
+    from pywindow_tpu.parallel.batch import _compiled_batch_analysis
+
+    sysd = Input().load_file(path)
+    el = sysd.get("elements")
+    if el is None:
+        el = sysd["atom_ids"]
+    molsys = pw.MolecularSystem.load_system(
+        {"elements": np.asarray(el), "coordinates": sysd["coordinates"]}
+    )
+    try:
+        molsys.decipher_atom_keys("OPLS")
+    except Exception:
+        pass
+    mol = molsys.system_to_molecule()
+    el, co = np.asarray(mol.elements), np.asarray(mol.coordinates)
+    maxd = max_dim_host(el, co)
+    n_win, n_avg, l1, l2 = static_sizes(maxd, DEFAULT_CONFIG)
+    mols = encode_batch([(el, co)] * batch)
+    step = _compiled_batch_analysis(n_win, n_avg, l1, l2, DEFAULT_CONFIG)
+    flat = np.asarray(step(mols))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        flat = np.asarray(step(mols))
+    dt = (time.perf_counter() - t0) / reps
+    assert np.isfinite(flat[0][3])
+    return batch / dt
 
 
 def synth_history(n_frames: int) -> pathlib.Path:
@@ -147,8 +231,8 @@ def measure_e2e(n_frames: int = E2E_FRAMES) -> float:
     import pywindow_tpu as pw
 
     path = synth_history(n_frames)
-    # warm the sweep's compiled step once (XLA compile for this shape is
-    # ~60 s cold, ~10 s loading from the persistent cache — one-time
+    # warm the sweep's compiled step once (XLA compile for this shape
+    # is ~60 s cold, ~10 s loading from the persistent cache — one-time
     # costs that would otherwise swamp the pipeline measurement; the
     # synth trajectory cycles the 20 fixture frames, so one batch pins
     # the same sampling sizes as the full sweep).  Recorded separately
@@ -248,6 +332,19 @@ def main() -> None:
     systems = _decode_frames()
     tpu_fps = measure_tpu(systems)
     e2e_fps = measure_e2e()
+    # large-N ledger workloads (VERDICT r3 #7): driver-reproducible
+    # kernel rates for the 424- and 468-atom systems
+    big_n = {}
+    for name, fname in (("mibqar", "MIBQAR.pdb"), ("reymal", "REYMAL.xyz")):
+        try:
+            big_n[f"{name}_kernel_fps"] = round(
+                measure_kernel_system(
+                    str(REPO / "tests" / "data" / fname), 1200
+                ),
+                1,
+            )
+        except Exception as e:  # never sink the headline metric
+            big_n[f"{name}_kernel_fps"] = f"error: {e}"
     ref_fps = measure_reference(systems)
     vs = e2e_fps / ref_fps if ref_fps == ref_fps else None
     extra = {
@@ -257,6 +354,8 @@ def main() -> None:
         "e2e_over_kernel": round(e2e_fps / tpu_fps, 3),
         "e2e_warmup_s": getattr(measure_e2e, "warmup_s", None),
         "e2e_rep_seconds": getattr(measure_e2e, "rep_seconds", None),
+        "roofline_full_step": getattr(measure_tpu, "roofline", None),
+        **big_n,
         **getattr(measure_reference, "distribution", {}),
     }
     # headline value = the honest end-to-end rate (file -> results);

@@ -528,50 +528,57 @@ def to_properties_dicts_bulk(
     """Batch equivalent of ``to_properties_dict(unpack_results(row))``
     for a whole (B, packed) result block.
 
-    One ``.tolist()`` converts the block to plain python floats up
-    front, so the per-frame dict construction touches no numpy scalars
-    — per-frame numpy indexing/``float()`` extraction dominated the
-    host side of big trajectory sweeps (this is ~6x faster and value-
-    identical; see tests/test_validation_suite.py bulk parity test).
+    Two host-cost rules shape this loop (the sweep collector thread
+    runs it for every chunk, so its time races the device):
+
+    * scalar fields come from ONE ``.tolist()`` of the 15 scalar
+      columns — per-frame numpy scalar extraction was ~6x slower;
+    * array fields are views/fancy-indexed rows of ``ascontiguousarray``
+      column blocks sliced once per chunk — per-frame
+      ``np.array(list)`` construction was another ~35% of the loop
+      (70.8 -> 46.2 ms at B=4320, value-identical; see
+      tests/test_validation_suite.py bulk parity test).
     """
     w = max_windows
-    dtype = flat.dtype
     off = 21
-    rows = flat.tolist()
+    b = flat.shape[0]
+    any_open = flat[:, 11] > 0.5
+    diam = np.ascontiguousarray(flat[:, off : off + w])
+    valid = flat[:, off + w : off + 2 * w] > 0.5
+    fail_any = (flat[:, off + 2 * w : off + 3 * w] > 0.5).any(axis=1)
+    neg_any = ((diam < 0) & valid).any(axis=1)
+    cent = np.ascontiguousarray(
+        flat[:, off + 3 * w : off + 6 * w]
+    ).reshape(b, w, 3)
+    com = np.ascontiguousarray(flat[:, 15:18])
+    com_opt = np.ascontiguousarray(flat[:, 18:21])
+    cap_sat = np.rint(flat[:, 12]).astype(np.int64) >= w
+    overflow = flat[:, 13] > 0.5
+    budget = flat[:, 14] > 0.5
+    rows = flat[:, :15].tolist()
     out: list[dict] = []
-    for r in rows:
-        n_clusters = int(round(r[12]))
-        if not r[11] > 0.5:  # any_open
+    for i in range(b):
+        r = rows[i]
+        if not any_open[i]:
             windows: dict = {"diameters": None, "centre_of_mass": None}
         else:
-            diam = r[off : off + w]
-            valid = r[off + w : off + 2 * w]
-            failed = r[off + 2 * w : off + 3 * w]
-            cent = r[off + 3 * w : off + 6 * w]
-            dsel = [d for d, v in zip(diam, valid) if v > 0.5]
-            csel = [
-                cent[3 * k : 3 * k + 3]
-                for k in range(w)
-                if valid[k] > 0.5
-            ]
+            v = valid[i]
             windows = {
-                "diameters": np.array(dsel, dtype=dtype),
-                "centre_of_mass": np.array(
-                    csel, dtype=dtype
-                ).reshape(len(csel), 3),
+                "diameters": diam[i, v],
+                "centre_of_mass": cent[i, v],
             }
-            if any(f > 0.5 for f in failed):
+            if fail_any[i]:
                 logger.warning(
                     "one of the analysed windows has returned as None "
                     "(refinement failed); see manual"
                 )
-            if any(d < 0 for d in dsel):
+            if neg_any[i]:
                 logger.warning(
                     "one of the analysed windows has a vdW-corrected "
                     "diameter smaller than 0; see manual"
                 )
         props = {
-            "centre_of_mass": np.array(r[15:18], dtype=dtype),
+            "centre_of_mass": com[i],
             "maximum_diameter": {
                 "diameter": r[1],
                 "atom_1": int(round(r[7])),
@@ -586,17 +593,17 @@ def to_properties_dicts_bulk(
             "pore_diameter_opt": {
                 "diameter": r[5],
                 "atom_1": int(round(r[10])),
-                "centre_of_mass": np.array(r[18:21], dtype=dtype),
+                "centre_of_mass": com_opt[i],
             },
             "pore_volume_opt": r[6],
             "windows": windows,
             "molecular_weight": r[0],
         }
-        if n_clusters >= w:
+        if cap_sat[i]:
             props["_window_cap_saturated"] = True
-        if r[13] > 0.5:
+        if overflow[i]:
             props["_open_cap_overflow"] = True
-        if r[14] > 0.5:
+        if budget[i]:
             props["_opt_budget_exceeded"] = True
         out.append(props)
     return out

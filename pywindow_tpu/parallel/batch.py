@@ -10,6 +10,7 @@ batch axis (pipeline parallelism inside a chip) and the mesh axis
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -126,11 +127,15 @@ def max_safe_batch(
     compaction matrix + the window refinement's live (W, L2, N_pad)
     sets:
 
-        per_frame ~ 4 bytes * (1.9 * K^2 + K * P + 1.2 * W * L2 * N_pad)
+        per_frame ~ 4 bytes * (0.6 * K^2 + 0.4 * K * P
+                               + 0.95 * W * L2 * N_pad)
 
-    (recalibrated post-compaction on CC3: model 3.446 MB/frame vs
-    ``compiled.memory_analysis()`` 3.441 MB; B=4320 runs on a 16 GiB
-    v5e, B=5760 OOMs, model cap 4360).
+    (recalibrated round 4, after the fused Pallas optimiser kernels
+    halved the refinement temps, against ``compiled.memory_analysis()``
+    temp sizes: CC3 measured 1.494 MB/frame vs model 1.72 (cap 8744 at
+    the 14 GiB budget; B=8640 measured 12.89 GiB temps on-device);
+    MIBQAR/REYMAL measured 3.19 MB/frame vs model 3.64 — a ~15%
+    safety margin on both shapes.)
     """
     from pywindow_tpu.config import pad_multiple
     from pywindow_tpu.ops.encoding import round_up
@@ -142,9 +147,67 @@ def max_safe_batch(
     # the (K, P) one-hot compaction matrix)
     k = open_cap(n_win, cfg.open_cap_frac) or n_win
     per_frame = 4.0 * (
-        1.9 * k * k + k * n_win + 1.2 * cfg.max_windows * l2 * n_pad
+        0.6 * k * k
+        + 0.4 * k * n_win
+        + 0.95 * cfg.max_windows * l2 * n_pad
     )
     return max(1, int(hbm_budget // max(int(per_frame), 1)))
+
+
+def chunk_plan(
+    n_frames: int,
+    c: int,
+    *,
+    ladder: bool = False,
+    n_dev: int = 1,
+) -> list[tuple[int, int, int]]:
+    """Sweep chunk plan: ``(lo, hi, compiled_shape)`` triples.
+
+    Single-shape by default (every chunk padded to ``c``).  With the
+    ladder (large chunks, multi-chunk sweeps), the sweep opens on a
+    quarter-size starter chunk followed by a 3/4-size realign chunk,
+    so every later boundary sits on a multiple of ``c``, and the tail
+    closes on the smallest ladder shape that fits.  At most four
+    compiled shapes per size tuple.
+
+    The ladder is OFF by default: a same-process A/B on the real TPU
+    (21600 CC3 frames, 2 rounds round-robin, 2026-08-19) measured it
+    as a clear loss — B=4320 ladder 6350 f/s vs plain 8243 f/s, B=8640
+    ladder 4936 vs plain 6218 — the extra (smaller) chunks add more
+    per-chunk fixed cost than their earlier first-dispatch and
+    tail-fit savings recover, and small batches underutilise the
+    device.  Kept as an opt-in (``PYWINDOW_TPU_SWEEP_LADDER=1``) for
+    sweeps with pathological tails (e.g. ``1.01 * c`` frames), where
+    the tail fit dominates.
+    """
+    from pywindow_tpu.parallel.mesh import pad_batch_to_devices
+
+    shapes = [c]
+    if ladder and c >= 1024 and n_frames > c:
+        q = c // 4
+        if n_dev > 1:
+            q = pad_batch_to_devices(q, n_dev)
+        shapes = sorted({q, 2 * q, 3 * q, c})
+    starter = shapes[0] if len(shapes) > 1 else 0
+
+    def fit_shape(r: int) -> int:
+        for s in shapes:
+            if r <= s:
+                return s
+        return c
+
+    plan: list[tuple[int, int, int]] = []
+    lo = 0
+    if starter:
+        plan.append((0, starter, starter))
+        lo = min(c, n_frames)
+        if lo > starter:
+            plan.append((starter, lo, fit_shape(lo - starter)))
+    while lo < n_frames:
+        hi = min(lo + c, n_frames)
+        plan.append((lo, hi, fit_shape(hi - lo)))
+        lo = hi
+    return plan
 
 
 @functools.lru_cache(maxsize=8)
@@ -578,15 +641,41 @@ def _sweep_frames(
                 not streaming or state["decoded"] == n_frames
             )
         n_win, n_avg, l1, l2 = sizes
-        safe = max_safe_batch(n_pad, pin, cfg)
-        c = safe if batch_size is None else min(int(batch_size), safe)
+        # an EXPLICIT batch_size is authoritative (the model keeps a
+        # ~15% safety margin, so a caller-measured size one notch above
+        # the model cap — e.g. CC3 at 8640, 12.9 GiB measured temps —
+        # must not be silently shrunk into a padded extra chunk); the
+        # model only sizes the auto (None) case.
+        c = (
+            max_safe_batch(n_pad, pin, cfg)
+            if batch_size is None
+            else int(batch_size)
+        )
         c = max(1, min(c, n_frames))
         if shard:
             c = pad_batch_to_devices(c, n_dev)
-        fields_dev = tuple(
-            jnp.asarray(np.broadcast_to(row, (c, n_pad)))
-            for row in (mass, vdw, cov, mask)
+
+        # chunk plan (see chunk_plan): single-shape by default;
+        # ``PYWINDOW_TPU_SWEEP_LADDER=1`` opts into the shape ladder
+        # (measured slower on the bench sweep — see chunk_plan).
+        plan = chunk_plan(
+            n_frames,
+            c,
+            ladder=(
+                os.environ.get("PYWINDOW_TPU_SWEEP_LADDER", "0") == "1"
+            ),
+            n_dev=n_dev if shard else 1,
         )
+
+        fields_cache: dict[int, tuple] = {}
+
+        def fields_for(m: int) -> tuple:
+            if m not in fields_cache:
+                fields_cache[m] = tuple(
+                    jnp.asarray(np.broadcast_to(row, (m, n_pad)))
+                    for row in (mass, vdw, cov, mask)
+                )
+            return fields_cache[m]
         fn = _compiled_batch_analysis(
             n_win, n_avg, l1, l2, cfg,
             mesh_key="frames" if shard else None,
@@ -618,22 +707,23 @@ def _sweep_frames(
         n_bufs = _PIPELINE_DEPTH + 2
         bufs = [np.empty((c, n, 3), dtype=dtype) for _ in range(n_bufs)]
 
-        def dispatch(lo, hi, k):
+        def dispatch(lo, hi, m, k):
             buf = (
-                bufs[k % n_bufs]
+                bufs[k % n_bufs][:m]
                 if reuse_bufs
-                else np.empty((c, n, 3), dtype=dtype)
+                else np.empty((m, n, 3), dtype=dtype)
             )
             with profiling.stage("sweep_assemble"):
                 buf[: hi - lo] = coords_t[lo:hi]
                 # padding slots replay the chunk's first frame (results
-                # sliced off on collect) so every chunk runs ONE shape
-                if hi - lo < c:
+                # sliced off on collect) so every chunk runs a ladder
+                # shape
+                if hi - lo < m:
                     buf[hi - lo :] = coords_t[lo]
             with profiling.stage("sweep_h2d"):
                 tight = jnp.asarray(buf)
             with profiling.stage("sweep_dispatch"):
-                mols = MolArrays(_pad_dev(tight), *fields_dev)
+                mols = MolArrays(_pad_dev(tight), *fields_for(m))
                 return (fn(mols), hi - lo, cfg, pin)
 
         def finish(lo, hi, handle):
@@ -672,8 +762,7 @@ def _sweep_frames(
                 lo0, hi0, h0 = inflight.popleft()
                 collects.append(collector.submit(finish, lo0, hi0, h0))
 
-            for k, lo in enumerate(range(0, n_frames, c)):
-                hi = min(lo + c, n_frames)
+            for k, (lo, hi, m) in enumerate(plan):
                 # drain decodes until this chunk's frames are ready
                 while state["decoded"] < hi and not escalated:
                     if pending is not None:
@@ -709,7 +798,7 @@ def _sweep_frames(
                         decode_into,
                         min(state["decoded"] + c, n_frames),
                     )
-                inflight.append((lo, hi, dispatch(lo, hi, k)))
+                inflight.append((lo, hi, dispatch(lo, hi, m, k)))
                 if len(inflight) > _PIPELINE_DEPTH:
                     queue_collect()
                 # retire finished collects (propagates exceptions and

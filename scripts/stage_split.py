@@ -58,7 +58,25 @@ def timeit(label, fn, *args, reps=5):
         out = fn(*args)
         np.asarray(jax.tree_util.tree_leaves(out)[0])
     dt = (time.perf_counter() - t0) / reps
-    print(f"{label:34s} {dt*1e3:8.1f} ms")
+    # roofline accounting: XLA's flop/byte counts over the measured
+    # rep time vs the v5e peaks (see bench._roofline for the peaks'
+    # provenance).  Pallas kernels are opaque to the cost model (their
+    # flops do not appear), so rows dominated by a fused kernel report
+    # the jnp-visible portion only — noted per row as "jnp-visible".
+    note = ""
+    try:
+        import bench as _bench
+
+        roof = _bench._roofline(fn.lower(*args).compile(), dt)
+        if roof:
+            note = (
+                f"  [{roof.get('pct_hbm_roofline', 0):5.1f}% HBM, "
+                f"{roof.get('pct_vpu_f32_roofline', 0):5.1f}% VPU-f32 "
+                f"(jnp-visible)]"
+            )
+    except Exception:
+        pass
+    print(f"{label:34s} {dt*1e3:8.1f} ms{note}")
     return dt
 
 

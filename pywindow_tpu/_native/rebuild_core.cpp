@@ -260,8 +260,12 @@ long pw_decode_dlpoly_frame(
             ++pos;
     };
     auto next_line = [&]() {
-        while (pos < len && text[pos] != '\n') ++pos;
-        if (pos < len) ++pos;
+        // memchr (SIMD) instead of a byte loop: the scan past each
+        // record/coordinate line's trailing columns was ~30% of the
+        // whole-sweep decode on the single host core.
+        const char* nl = static_cast<const char*>(std::memchr(
+            text + pos, '\n', static_cast<size_t>(len - pos)));
+        pos = nl ? (nl - text) + 1 : len;
     };
     auto parse_double = [&](double* out) -> bool {
         // fast correctly-rounded path, strtod fallback (bitwise equal)
@@ -327,8 +331,9 @@ long pw_decode_xyz_frame(
     long cap_atoms) {
     long pos = 0;
     auto next_line = [&]() {
-        while (pos < len && text[pos] != '\n') ++pos;
-        if (pos < len) ++pos;
+        const char* nl = static_cast<const char*>(std::memchr(
+            text + pos, '\n', static_cast<size_t>(len - pos)));
+        pos = nl ? (nl - text) + 1 : len;
     };
     auto skip_ws = [&]() {
         while (pos < len &&
@@ -394,9 +399,9 @@ long pw_decode_pdb_frame(
     };
     long atom = 0;
     while (pos < len) {
-        long line_len = 0;
-        while (pos + line_len < len && text[pos + line_len] != '\n')
-            ++line_len;
+        const char* nl = static_cast<const char*>(std::memchr(
+            text + pos, '\n', static_cast<size_t>(len - pos)));
+        long line_len = nl ? (nl - text) - pos : len - pos;
         if (line_len >= 6) {
             bool is_atom =
                 std::strncmp(text + pos, "HETATM", 6) == 0 ||
@@ -476,7 +481,57 @@ long pw_map_history(
             std::memchr(text + pos, '\n', static_cast<size_t>(len - pos)));
         long line_end = nl ? (nl - text) : len;
         ++line_no;
-        // first token
+        // fast path: a data line (atom record / coordinates) needs NO
+        // token work — only empty-line detection and the "timestep"
+        // test.  One first-byte classification (plus a short ws skip
+        // for space-led coordinate lines) replaces the full token
+        // scans that made the map pass ~45% of the decode cost.
+        if (line_no > 2) {
+            const char c0 =
+                line_start < line_end ? text[line_start] : '\n';
+            if (c0 != 't' && c0 != ' ' && c0 != '\t' && c0 != '\r' &&
+                line_start != line_end) {
+                pos = nl ? (line_end + 1) : len;
+                continue;
+            }
+            long t = line_start;
+            while (t < line_end &&
+                   (text[t] == ' ' || text[t] == '\t' ||
+                    text[t] == '\r'))
+                ++t;
+            if (t == line_end) {  // empty/whitespace line -> hard error
+                *err_line = line_no;
+                return -1;
+            }
+            // exact first-token == "timestep" (token must END at +8)
+            if (text[t] == 't' && line_end - t >= 8 &&
+                std::strncmp(text + t, "timestep", 8) == 0 &&
+                (t + 8 == line_end || text[t + 8] == ' ' ||
+                 text[t + 8] == '\t' || text[t + 8] == '\r')) {
+                char* end = nullptr;
+                long long ts = std::strtoll(text + t + 8, &end, 10);
+                if (end != text + t + 8) {
+                    if (prev_ts > ts) {
+                        *err_line = line_no;
+                        return -2;
+                    }
+                    prev_ts = ts;
+                }
+                if (header_done) {
+                    if (n_frames >= cap) return -3;
+                    starts[n_frames] = frame_start;
+                    ends[n_frames] = line_start;
+                    ++n_frames;
+                } else {
+                    *header_end = line_start;
+                    header_done = true;
+                }
+                frame_start = line_start;
+            }
+            pos = nl ? (line_end + 1) : len;
+            continue;
+        }
+        // header lines 1-2: full token work (once per file)
         long t = line_start;
         while (t < line_end &&
                (text[t] == ' ' || text[t] == '\t' || text[t] == '\r'))
@@ -598,7 +653,7 @@ template <typename DecodeFn>
 long batch_decode(
     const char* text, const int64_t* starts, const int64_t* ends,
     long n_frames, long n_atoms, const char* ref_ids, double* xyz,
-    const double* vdw, double* maxd, long n_threads,
+    float* xyz32, const double* vdw, double* maxd, long n_threads,
     int64_t* ids_match, DecodeFn decode_one) {
     std::atomic<long> first_fail(-1);
     std::atomic<bool> all_ids_match(true);
@@ -628,6 +683,15 @@ long batch_decode(
                 local_match = false;
             if (vdw != nullptr && maxd != nullptr)
                 maxd[i] = frame_max_dim(frame_xyz, vdw, n_atoms);
+            if (xyz32 != nullptr) {
+                // fused f64 -> f32 while the frame is cache-hot: saves
+                // the pipeline's separate (F, N, 3) conversion pass
+                // (numpy astype and this cast are both round-to-
+                // nearest-even — bitwise identical)
+                float* f = xyz32 + static_cast<size_t>(i) * n_atoms * 3;
+                for (long k = 0; k < n_atoms * 3; ++k)
+                    f[k] = static_cast<float>(frame_xyz[k]);
+            }
         }
         if (!local_match) all_ids_match.store(false);
     };
@@ -668,11 +732,11 @@ extern "C" {
 long pw_decode_dlpoly_frames_batch(
     const char* text, const int64_t* starts, const int64_t* ends,
     long n_frames, long keytrj, long has_cell, long n_atoms,
-    const char* ref_ids, double* xyz, const double* vdw, double* maxd,
-    long n_threads, int64_t* ids_match) {
+    const char* ref_ids, double* xyz, float* xyz32, const double* vdw,
+    double* maxd, long n_threads, int64_t* ids_match) {
     return batch_decode(
-        text, starts, ends, n_frames, n_atoms, ref_ids, xyz, vdw, maxd,
-        n_threads, ids_match,
+        text, starts, ends, n_frames, n_atoms, ref_ids, xyz, xyz32,
+        vdw, maxd, n_threads, ids_match,
         [keytrj, has_cell, n_atoms](const char* t, long l, char* ids,
                                     double* out) {
             double cell[9];
@@ -686,11 +750,11 @@ long pw_decode_dlpoly_frames_batch(
 long pw_decode_xyz_frames_batch(
     const char* text, const int64_t* starts, const int64_t* ends,
     long n_frames, long n_atoms, const char* ref_ids, double* xyz,
-    const double* vdw, double* maxd, long n_threads,
+    float* xyz32, const double* vdw, double* maxd, long n_threads,
     int64_t* ids_match) {
     return batch_decode(
-        text, starts, ends, n_frames, n_atoms, ref_ids, xyz, vdw, maxd,
-        n_threads, ids_match,
+        text, starts, ends, n_frames, n_atoms, ref_ids, xyz, xyz32,
+        vdw, maxd, n_threads, ids_match,
         [n_atoms](const char* t, long l, char* ids, double* out) {
             return pw_decode_xyz_frame(t, l, ids, out, n_atoms);
         });
@@ -702,11 +766,11 @@ long pw_decode_xyz_frames_batch(
 long pw_decode_pdb_frames_batch(
     const char* text, const int64_t* starts, const int64_t* ends,
     long n_frames, long n_atoms, const char* ref_ids, double* xyz,
-    const double* vdw, double* maxd, long n_threads,
+    float* xyz32, const double* vdw, double* maxd, long n_threads,
     int64_t* ids_match) {
     return batch_decode(
-        text, starts, ends, n_frames, n_atoms, ref_ids, xyz, vdw, maxd,
-        n_threads, ids_match,
+        text, starts, ends, n_frames, n_atoms, ref_ids, xyz, xyz32,
+        vdw, maxd, n_threads, ids_match,
         [n_atoms](const char* t, long l, char* ids, double* out) {
             double cryst[6];
             long has_cryst = 0;

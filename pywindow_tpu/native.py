@@ -119,21 +119,22 @@ def lib() -> ctypes.CDLL | None:
         c_vp, ctypes.c_long, c_i64, c_i64, ctypes.c_long,
         c_i64, c_i64, c_i64,
     ]
+    c_f = ctypes.POINTER(ctypes.c_float)
     L.pw_decode_dlpoly_frames_batch.restype = ctypes.c_long
     L.pw_decode_dlpoly_frames_batch.argtypes = [
         c_vp, c_i64, c_i64, ctypes.c_long, ctypes.c_long,
-        ctypes.c_long, ctypes.c_long, ctypes.c_char_p, c_d, c_d, c_d,
-        ctypes.c_long, c_i64,
+        ctypes.c_long, ctypes.c_long, ctypes.c_char_p, c_d, c_f, c_d,
+        c_d, ctypes.c_long, c_i64,
     ]
     L.pw_decode_xyz_frames_batch.restype = ctypes.c_long
     L.pw_decode_xyz_frames_batch.argtypes = [
         c_vp, c_i64, c_i64, ctypes.c_long, ctypes.c_long,
-        ctypes.c_char_p, c_d, c_d, c_d, ctypes.c_long, c_i64,
+        ctypes.c_char_p, c_d, c_f, c_d, c_d, ctypes.c_long, c_i64,
     ]
     L.pw_decode_pdb_frames_batch.restype = ctypes.c_long
     L.pw_decode_pdb_frames_batch.argtypes = [
         c_vp, c_i64, c_i64, ctypes.c_long, ctypes.c_long,
-        ctypes.c_char_p, c_d, c_d, c_d, ctypes.c_long, c_i64,
+        ctypes.c_char_p, c_d, c_f, c_d, c_d, ctypes.c_long, c_i64,
     ]
     _LIB = L
     return _LIB
@@ -330,7 +331,8 @@ def map_history(buf: np.ndarray, cap_frames: int):
 
 
 def _decode_frames_batch(fn_name, buf, starts, ends, n_atoms, ref_ids,
-                         vdw=None, extra=(), n_threads=None):
+                         vdw=None, extra=(), n_threads=None,
+                         out64=None, out32=None):
     L = lib()
     if L is None:
         return None
@@ -341,9 +343,21 @@ def _decode_frames_batch(fn_name, buf, starts, ends, n_atoms, ref_ids,
     f = len(starts)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
-    xyz = np.empty((f, n_atoms, 3), dtype=np.float64)
+    if out64 is not None:
+        # caller-provided f64 store: must be a C-contiguous slice of
+        # the sweep's (F, N, 3) array — decode writes straight into it
+        assert out64.shape == (f, n_atoms, 3)
+        assert out64.dtype == np.float64 and out64.flags.c_contiguous
+        xyz = out64
+    else:
+        xyz = np.empty((f, n_atoms, 3), dtype=np.float64)
+    if out32 is not None:
+        # fused pipeline-dtype copy, filled in the same decode pass
+        assert out32.shape == (f, n_atoms, 3)
+        assert out32.dtype == np.float32 and out32.flags.c_contiguous
     ids_match = np.zeros(1, dtype=np.int64)
     null_d = ctypes.cast(None, ctypes.POINTER(ctypes.c_double))
+    null_f = ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
     maxd = None
     if vdw is not None:
         vdw = np.ascontiguousarray(vdw, dtype=np.float64)
@@ -357,6 +371,7 @@ def _decode_frames_batch(fn_name, buf, starts, ends, n_atoms, ref_ids,
         n_atoms,
         ref_ids,
         _ptr(xyz, ctypes.c_double),
+        _ptr(out32, ctypes.c_float) if out32 is not None else null_f,
         _ptr(vdw, ctypes.c_double) if vdw is not None else null_d,
         _ptr(maxd, ctypes.c_double) if maxd is not None else null_d,
         n_threads,
@@ -377,6 +392,8 @@ def decode_dlpoly_frames_batch(
     ref_ids: bytes,
     vdw: np.ndarray | None = None,
     n_threads: int | None = None,
+    out64: np.ndarray | None = None,
+    out32: np.ndarray | None = None,
 ):
     """Threaded whole-sweep HISTORY decode
     -> ((F, N, 3) f64, ids_match, per-frame maxd or None).
@@ -393,30 +410,34 @@ def decode_dlpoly_frames_batch(
     return _decode_frames_batch(
         "pw_decode_dlpoly_frames_batch", buf, starts, ends, n_atoms,
         ref_ids, vdw=vdw, extra=(int(keytrj), int(bool(has_cell))),
-        n_threads=n_threads,
+        n_threads=n_threads, out64=out64, out32=out32,
     )
 
 
 def decode_xyz_frames_batch(
-    buf, starts, ends, n_atoms, ref_ids, vdw=None, n_threads=None
+    buf, starts, ends, n_atoms, ref_ids, vdw=None, n_threads=None,
+    out64=None, out32=None,
 ):
     """Threaded whole-sweep XYZ-trajectory decode; see
     :func:`decode_dlpoly_frames_batch`."""
     return _decode_frames_batch(
         "pw_decode_xyz_frames_batch", buf, starts, ends, n_atoms,
-        ref_ids, vdw=vdw, n_threads=n_threads,
+        ref_ids, vdw=vdw, n_threads=n_threads, out64=out64,
+        out32=out32,
     )
 
 
 def decode_pdb_frames_batch(
-    buf, starts, ends, n_atoms, ref_ids, vdw=None, n_threads=None
+    buf, starts, ends, n_atoms, ref_ids, vdw=None, n_threads=None,
+    out64=None, out32=None,
 ):
     """Threaded whole-sweep PDB-trajectory decode; see
     :func:`decode_dlpoly_frames_batch`.  Per-frame CRYST1 cells are
     ignored (the fast sweep path never rebuilds)."""
     return _decode_frames_batch(
         "pw_decode_pdb_frames_batch", buf, starts, ends, n_atoms,
-        ref_ids, vdw=vdw, n_threads=n_threads,
+        ref_ids, vdw=vdw, n_threads=n_threads, out64=out64,
+        out32=out32,
     )
 
 

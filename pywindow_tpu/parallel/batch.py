@@ -601,13 +601,28 @@ def _sweep_frames(
     maxd_pf = np.empty(n_frames, dtype=np.float64)
     state = {"decoded": 0}
 
+    # native decoders can fill the sweep's f64 store AND the pipeline-
+    # dtype copy in one pass (decode_slab.supports_out); the generic
+    # contract returns the slab and the copies happen here.
+    direct_out = bool(getattr(decode_slab, "supports_out", False))
+    f32_out = dtype == np.float32
+
     def decode_into(hi: int) -> None:
         with profiling.stage("sweep_decode"):
             lo = state["decoded"]
-            co, md = decode_slab(lo, hi)
-            if co is not None:
-                co64[lo:hi] = co
-            coords_t[lo:hi] = co64[lo:hi]
+            if direct_out:
+                _, md = decode_slab(
+                    lo, hi,
+                    out64=co64[lo:hi],
+                    out32=coords_t[lo:hi] if f32_out else None,
+                )
+                if not f32_out:
+                    coords_t[lo:hi] = co64[lo:hi]
+            else:
+                co, md = decode_slab(lo, hi)
+                if co is not None:
+                    co64[lo:hi] = co
+                coords_t[lo:hi] = co64[lo:hi]
             maxd_pf[lo:hi] = md
             state["decoded"] = hi
 

@@ -180,8 +180,10 @@ class Trajectory:
         """Native whole-sweep decoder hook; None = no native fast path.
 
         Format subclasses return
-        ``batch_fn(buf, starts, ends, n_atoms, ref_ids, vdw)`` wrapping
-        their native batch decoder.
+        ``batch_fn(buf, starts, ends, n_atoms, ref_ids, vdw,
+        out64=None, out32=None)`` wrapping their native batch decoder
+        (``out64``/``out32`` are optional caller-owned output slabs the
+        decode fills directly — see native._decode_frames_batch).
         """
         return None
 
@@ -270,10 +272,10 @@ class Trajectory:
             fh.close()
             return None
 
-        def decode_slab(lo: int, hi: int):
+        def decode_slab(lo: int, hi: int, out64=None, out32=None):
             got = batch_fn(
                 holder["buf"], starts[lo:hi], ends[lo:hi], n_atoms,
-                ref_ids, vdw,
+                ref_ids, vdw, out64=out64, out32=out32,
             )
             if got is None:
                 raise SweepDecodeError("native parse failed")
@@ -281,6 +283,11 @@ class Trajectory:
             if not ids_match:
                 raise SweepDecodeError("atom ids vary across frames")
             return xyz, maxd
+
+        # the pipeline may hand its own output slabs (see
+        # parallel.batch._sweep_frames): both dtype copies then fill in
+        # ONE native pass instead of decode -> f64 copy -> f32 copy
+        decode_slab.supports_out = True
 
         def close() -> None:
             holder.clear()  # release the buffer export before close
@@ -950,15 +957,21 @@ class DLPOLY(Trajectory):
         with self.filepath.open() as fh:
             mapped = mmap(fh.fileno(), 0, access=ACCESS_READ)
             try:
-                cap = 2
-                pos = mapped.find(b"timestep")
-                while pos != -1:
-                    cap += 1
-                    pos = mapped.find(b"timestep", pos + 8)
                 buf = np.frombuffer(mapped, dtype=np.uint8)
                 try:
                     try:
-                        got = native.map_history(buf, cap)
+                        # capacity: guess-and-retry instead of an exact
+                        # "timestep" counting pre-pass — the pre-pass
+                        # rescanned the whole buffer and cost ~2x the
+                        # map scan itself.  A frame is ≥ ~1 KB for any
+                        # real system; tiny-frame files retry with 8x
+                        # capacity until the scan fits.
+                        cap = max(1024, buf.size // 1024)
+                        while True:
+                            got = native.map_history(buf, cap)
+                            if got is not None or cap > buf.size:
+                                break
+                            cap *= 8
                     except ValueError as exc:
                         # raise AFTER the mmap closes: an in-flight
                         # exception's frames would pin the buffer
@@ -997,11 +1010,14 @@ class DLPOLY(Trajectory):
                             "/ trajectory type) is missing\n"
                         )
                     self._decode_header(mapped[0:header_end])
+                    # tolist() first: per-element int(np_scalar) was
+                    # ~2x slower across a long trajectory's map
+                    s_l, e_l = starts.tolist(), ends.tolist()
                     self.trajectory_map = {
-                        i: [int(starts[i]), int(ends[i])]
-                        for i in range(len(starts))
+                        i: [s, e]
+                        for i, (s, e) in enumerate(zip(s_l, e_l))
                     }
-                    self.no_of_frames = len(starts)
+                    self.no_of_frames = len(s_l)
             finally:
                 mapped.close()
         if err_msg is not None:
@@ -1058,9 +1074,10 @@ class DLPOLY(Trajectory):
         has_cell = self._imcon in (1, 2, 3)
         if not has_cell and self._imcon != 0:
             return None
-        return lambda buf, s, e, n, rid, vdw: (
+        return lambda buf, s, e, n, rid, vdw, out64=None, out32=None: (
             native.decode_dlpoly_frames_batch(
-                buf, s, e, keytrj, has_cell, n, rid, vdw=vdw
+                buf, s, e, keytrj, has_cell, n, rid, vdw=vdw,
+                out64=out64, out32=out32,
             )
         )
 
@@ -1250,8 +1267,10 @@ class XYZ(Trajectory):
     def _sweep_batch_fn(self):
         from pywindow_tpu import native
 
-        return lambda buf, s, e, n, rid, vdw: (
-            native.decode_xyz_frames_batch(buf, s, e, n, rid, vdw=vdw)
+        return lambda buf, s, e, n, rid, vdw, out64=None, out32=None: (
+            native.decode_xyz_frames_batch(
+                buf, s, e, n, rid, vdw=vdw, out64=out64, out32=out32
+            )
         )
 
 
@@ -1314,8 +1333,10 @@ class PDB(Trajectory):
     def _sweep_batch_fn(self):
         from pywindow_tpu import native
 
-        return lambda buf, s, e, n, rid, vdw: (
-            native.decode_pdb_frames_batch(buf, s, e, n, rid, vdw=vdw)
+        return lambda buf, s, e, n, rid, vdw, out64=None, out32=None: (
+            native.decode_pdb_frames_batch(
+                buf, s, e, n, rid, vdw=vdw, out64=out64, out32=out32
+            )
         )
 
     def _decode_raw_pdb(self, raw: str) -> dict:

@@ -51,7 +51,7 @@ KERNEL_BATCH = 8640
 BATCH = 4320
 STEADY_REPS = 3
 REF_FRAMES = 20
-E2E_REPS = 2
+E2E_REPS = 3
 E2E_FRAMES = 21600  # 5 full 4320-frame chunks (no remainder padding)
 
 
@@ -246,10 +246,11 @@ def measure_e2e(n_frames: int = E2E_FRAMES) -> float:
     measure_e2e.warmup_s = round(time.perf_counter() - t0, 2)
 
     # best of E2E_REPS timed sweeps: the tunneled TPU's transfer
-    # bandwidth swings 3-130 MB/s between runs (and the page cache
-    # state moves the decode), which made single-shot e2e numbers
-    # differ 40% on identical code.  The best-of captures the
-    # pipeline's capability; per-rep times are recorded in extra.
+    # bandwidth swings 3-130 MB/s between runs, and the single host
+    # vCPU sees multi-second scheduling stalls (a measured 21600-frame
+    # decode varies 0.4-9 s on identical code) — single-shot e2e
+    # numbers differed 40%+.  The best-of captures the pipeline's
+    # capability; per-rep times are recorded in extra.
     times = []
     for _ in range(E2E_REPS):
         t0 = time.perf_counter()

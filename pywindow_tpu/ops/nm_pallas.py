@@ -45,14 +45,28 @@ from pywindow_tpu.ops.optim import (
 )
 
 
-def nm_xy_kernel_body(*, maxiter: int, xatol: float, fatol: float):
-    """Build the Pallas kernel (static-parameter closure)."""
+def nm_xy_kernel_body(
+    *, maxiter: int, xatol: float, fatol: float, brute_ns: int = 0
+):
+    """Build the Pallas kernel (static-parameter closure).
+
+    ``brute_ns > 0`` fuses the dense grid pass of
+    :func:`pywindow_tpu.ops.optim.brute_start` into the kernel: the
+    fourth input row block is then the per-lane grid half-width
+    (scipy ``brute``'s bound, utilities.py:1312-1314) instead of the
+    polish start, and the kernel scans the ns x ns inclusive-endpoint
+    grid (x-outer row-major, strict-< first-min ties — scipy argmin
+    order) before polishing.  The grid reuses the VMEM-resident anchor
+    clearance context, where the XLA grid pass re-streamed the
+    (B, W, ns^2, N) clearance intermediate through HBM (~43 ms of the
+    B=4320 profile).
+    """
 
     def kernel(
         xc_ref,  # (3, N, T) rotated coords (padded slots FAR_AWAY)
         vdw_ref,  # (N, T) vdW radii (padded slots 0)
         zanchor_ref,  # (1, T) anchor z (z*)
-        x0_ref,  # (2, T) polish start (brute-grid argmin)
+        x0_ref,  # (2, T) polish start / (1, T) grid half-width
         valid_ref,  # (1, T) f32: 1.0 = real lane
         x_out,  # (2, T)
         stats_out,  # (3, T): f_best, capped, iters
@@ -97,8 +111,39 @@ def nm_xy_kernel_body(*, maxiter: int, xatol: float, fatol: float):
             )
 
         # --- initial simplex (optim.scipy_default_step + _initial_simplex)
-        x0a = x0_ref[0:1]
-        x0b = x0_ref[1:2]
+        if brute_ns > 0:
+            # fused brute grid: argmin over the ns x ns linspace grid
+            # (values a + i*(b-a)/(ns-1); jnp.linspace ulp differences
+            # at most flip exact-tie cells — behavioural parity is
+            # arbitered by the golden gate, like every kernel routing)
+            half_row = x0_ref[0:1]
+            step = (half_row + half_row) / C(brute_ns - 1)
+            big = C(jnp.finfo(jnp.float32).max)
+            gf = jnp.full_like(half_row, big)
+            g0 = jnp.zeros_like(half_row)
+            g1 = jnp.zeros_like(half_row)
+
+            def grid_body(i, carry):
+                gf, g0, g1 = carry
+                ix = i // brute_ns
+                iy = i - ix * brute_ns
+                u0 = -half_row + ix.astype(dtype) * step
+                u1 = -half_row + iy.astype(dtype) * step
+                fv = f_of(u0, u1)
+                better = fv < gf  # strict: first minimum wins
+                return (
+                    jnp.where(better, fv, gf),
+                    jnp.where(better, u0, g0),
+                    jnp.where(better, u1, g1),
+                )
+
+            gf, g0, g1 = jax.lax.fori_loop(
+                0, brute_ns * brute_ns, grid_body, (gf, g0, g1)
+            )
+            x0a, x0b = g0, g1
+        else:
+            x0a = x0_ref[0:1]
+            x0b = x0_ref[1:2]
         step0 = jnp.where(x0a != zero, C(_NONZDELT) * x0a, C(_ZDELT))
         step1 = jnp.where(x0b != zero, C(_NONZDELT) * x0b, C(_ZDELT))
         # vertices: (x, y, f) triples of (1, T) rows
@@ -231,22 +276,27 @@ def nm_xy_kernel_body(*, maxiter: int, xatol: float, fatol: float):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("maxiter", "xatol", "fatol", "tile", "interpret"),
+    static_argnames=(
+        "maxiter", "xatol", "fatol", "tile", "interpret", "brute_ns"
+    ),
 )
 def nm_xy_flat(
     coords: jnp.ndarray,  # (B, N, 3) rotated molecules
     vdw: jnp.ndarray,  # (B, N)
     zanchor: jnp.ndarray,  # (B,)
-    x0: jnp.ndarray,  # (B, 2) polish start
+    x0: jnp.ndarray,  # (B, 2) polish start / (B,) grid half-width
     *,
     maxiter: int,
     xatol: float = 1e-4,
     fatol: float = 1e-4,
     tile: int = 128,
     interpret: bool | None = None,
+    brute_ns: int = 0,
 ):
-    """Run the fused NM polish over a flat batch; returns
-    ``(x (B,2), f (B,), capped (B,))``."""
+    """Run the fused (brute grid +) NM polish over a flat batch;
+    returns ``(x (B,2), f (B,), capped (B,))``.  With ``brute_ns > 0``
+    the ``x0`` argument is the per-lane grid half-width (B,) and the
+    kernel computes the grid argmin itself."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from jax.experimental import pallas as pl
@@ -264,10 +314,14 @@ def nm_xy_flat(
     )
     vdw_t = jnp.zeros((n_pad, b_pad), dtype).at[:n, :b].set(vdw.T)
     za_t = jnp.zeros((1, b_pad), dtype).at[0, :b].set(zanchor)
-    x0_t = jnp.zeros((2, b_pad), dtype).at[:, :b].set(x0.T)
+    x0_rows = 1 if brute_ns > 0 else 2
+    x0_2d = x0.reshape(b, x0_rows)
+    x0_t = jnp.zeros((x0_rows, b_pad), dtype).at[:, :b].set(x0_2d.T)
     valid_t = jnp.zeros((1, b_pad), dtype).at[0, :b].set(1.0)
 
-    kernel = nm_xy_kernel_body(maxiter=maxiter, xatol=xatol, fatol=fatol)
+    kernel = nm_xy_kernel_body(
+        maxiter=maxiter, xatol=xatol, fatol=fatol, brute_ns=brute_ns
+    )
 
     def spec(rows):
         return pl.BlockSpec(
@@ -285,7 +339,7 @@ def nm_xy_flat(
             ),
             spec(n_pad),
             spec(1),
-            spec(2),
+            spec(x0_rows),
             spec(1),
         ],
         out_specs=(spec(2), spec(3)),
@@ -304,10 +358,12 @@ def nm_xy_flat(
 
 
 @functools.lru_cache(maxsize=8)
-def _nm_nd(maxiter, xatol, fatol, tile):
+def _nm_nd(maxiter, xatol, fatol, tile, brute_ns=0):
     """Rank-polymorphic, vmap-transparent NM polish (see
     lbfgsb_pallas._stable_opt_nd for the custom_vmap pattern)."""
     from jax import custom_batching
+
+    x0_shape = () if brute_ns > 0 else (2,)
 
     @custom_batching.custom_vmap
     def opt(coords, vdw, zanchor, x0):
@@ -320,11 +376,12 @@ def _nm_nd(maxiter, xatol, fatol, tile):
             coords.reshape((b, n, 3)),
             vdw.reshape((b, n)),
             zanchor.reshape((b,)),
-            x0.reshape((b, 2)),
+            x0.reshape((b,) + x0_shape),
             maxiter=maxiter,
             xatol=xatol,
             fatol=fatol,
             tile=tile,
+            brute_ns=brute_ns,
         )
         return (
             x.reshape(lead + (2,)),
@@ -358,3 +415,24 @@ def nm_xy_stable_pallas(rmol_coords, rmol_vdw, z_star, x0, maxiter: int,
     opt = _nm_nd(maxiter, xatol, fatol, tile)
     zs = jnp.asarray(z_star, rmol_coords.dtype)
     return opt(rmol_coords, rmol_vdw, zs, x0)
+
+
+def brute_nm_xy_stable_pallas(
+    rmol_coords, rmol_vdw, z_star, half, ns: int, maxiter: int,
+    xatol: float = 1e-4, fatol: float = 1e-4, tile: int = 128,
+):
+    """Fused brute grid + NM polish in ONE kernel dispatch.
+
+    Drop-in for ``brute_start`` + :func:`nm_xy_stable_pallas` on the
+    routed TPU path (reference: ``scipy.optimize.brute(..., Ns=ns,
+    finish=fmin)``, utilities.py:1312-1317): ``half`` is the per-lane
+    grid half-width (scipy's bound ±window_radius), the ns x ns
+    inclusive grid is scanned in-kernel against the VMEM-resident
+    clearance context, and the polish starts from its first-min
+    argmin.  Safe under any vmap nesting; returns
+    ``(xy (2,), f (), capped ())`` per lane.
+    """
+    opt = _nm_nd(maxiter, xatol, fatol, tile, brute_ns=int(ns))
+    zs = jnp.asarray(z_star, rmol_coords.dtype)
+    hf = jnp.asarray(half, rmol_coords.dtype)
+    return opt(rmol_coords, rmol_vdw, zs, hf)

@@ -303,18 +303,16 @@ def _window_refine(
 
     half = wd0 / 2.0
     if stable and _route_z_pallas():
-        # TPU production: the exact jnp brute grid seeds the fused
-        # Pallas Nelder-Mead kernel (one dispatch for all
-        # frame x window lanes via custom_vmap; see ops/nm_pallas.py)
-        from pywindow_tpu.ops.nm_pallas import nm_xy_stable_pallas
-        from pywindow_tpu.ops.optim import brute_start
+        # TPU production: brute grid AND Nelder-Mead polish fused into
+        # ONE Pallas dispatch for all frame x window lanes — the XLA
+        # grid pass re-streamed the (B, W, ns^2, N) clearance
+        # intermediate through HBM (~43 ms at B=4320); in-kernel the
+        # grid reuses the VMEM anchor context (see ops/nm_pallas.py)
+        from pywindow_tpu.ops.nm_pallas import brute_nm_xy_stable_pallas
 
-        x0 = brute_start(
-            f_xy, jnp.stack([-half, -half]), jnp.stack([half, half]),
-            ns=cfg.brute_ns, f_batch=f_xy_batch,
-        )
-        xy_star, _, nm_capped = nm_xy_stable_pallas(
-            rmol.coords, rmol.vdw, z_star, x0, maxiter=nm_maxiter,
+        xy_star, _, nm_capped = brute_nm_xy_stable_pallas(
+            rmol.coords, rmol.vdw, z_star, half, ns=cfg.brute_ns,
+            maxiter=nm_maxiter,
         )
     else:
         xy_star, _, nm_capped = brute_then_polish(

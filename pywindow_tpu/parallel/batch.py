@@ -107,9 +107,14 @@ HBM_BUDGET_BYTES = int(14 * 1024**3)
 
 #: Sweep chunks dispatched ahead of the one being fetched.  Two keeps
 #: the tunnel streaming chunk k+2's coordinates while chunk k+1
-#: computes and chunk k's results come back; inputs/outputs of queued
-#: chunks are small (~10 MB each) next to the executing chunk's temps.
-_PIPELINE_DEPTH = 2
+#: computes and chunk k's results come back; THREE adds one chunk of
+#: slack so a host scheduling stall or tunnel hiccup in the collector
+#: does not starve the device (A/B on the real TPU, 21600 CC3 frames
+#: at B=4320: depth 2 best-of-3 8.9-9.6k f/s, depth 3 9.6-10.7k,
+#: depth 4 worse — with 5-chunk sweeps it defers all collection to the
+#: drain).  Inputs/outputs of queued chunks are small (~10 MB each)
+#: next to the executing chunk's temps.
+_PIPELINE_DEPTH = 3
 
 
 def max_safe_batch(

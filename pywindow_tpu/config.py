@@ -117,15 +117,20 @@ def pore_opt_dtype(dtype) -> np.dtype:
 
 
 def pad_multiple() -> int:
-    """Atom-axis padding granularity (TPU lane-friendly on accelerator)."""
+    """Atom-axis padding granularity.
+
+    8 everywhere: every Pallas kernel keeps atoms on the *sublane* axis
+    (granularity 8), so padding the encoding to 128 only added dead
+    atom rows the kernels then streamed through the VPU — on CC3
+    (168 atoms) a measured ~34% of the clearance work (168 -> 256).
+    XLA-land ops are indifferent (they tile the atom axis internally
+    either way).  ``PYWINDOW_TPU_PAD`` overrides (e.g. 128 to restore
+    the historical lane-aligned encoding for A/B timing).
+    """
     override = os.environ.get("PYWINDOW_TPU_PAD")
     if override:
         return int(override)
-    try:
-        platform = jax.default_backend()
-    except RuntimeError:  # pragma: no cover - no backend at all
-        platform = "cpu"
-    return 128 if platform == "tpu" else 8
+    return 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -894,7 +894,10 @@ def lbfgsb_stable_flat(
     b, n, _ = coords.shape
     d = x0.shape[-1]
     dtype = x0.dtype
-    n_pad = _round_up(max(n, 8), 128)
+    # atoms live on the sublane axis of the (3, n_pad, tile) blocks:
+    # granularity 8, NOT 128 — rounding to a lane multiple here would
+    # stream dead atom rows through every clearance probe
+    n_pad = _round_up(max(n, 8), 8)
     tile = min(tile, _round_up(max(b, 8), 8))
     b_pad = _round_up(max(b, 8), tile)
 

@@ -304,7 +304,8 @@ def nm_xy_flat(
 
     b, n, _ = coords.shape
     dtype = x0.dtype
-    n_pad = _round_up(max(n, 8), 128)
+    # atoms on the sublane axis: granularity 8 (see lbfgsb_stable_flat)
+    n_pad = _round_up(max(n, 8), 8)
     tile = min(tile, _round_up(max(b, 8), 8))
     b_pad = _round_up(max(b, 8), tile)
 

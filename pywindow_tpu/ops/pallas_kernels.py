@@ -115,6 +115,44 @@ def _pick_tile_p(n_pad: int) -> int:
     return tile
 
 
+#: atom counts above this keep the legacy atoms-on-lanes kernels: the
+#: transposed layout holds full (n8, tile_p) working arrays in VMEM and
+#: cannot shrink the ray tile below one 128-lane register, so a huge
+#: molecule would overflow scoped vmem there (the wide layout instead
+#: shrinks its ray rows down to 8).
+_TRANSPOSE_ATOM_LIMIT = 4096
+
+
+@functools.lru_cache(maxsize=16)
+def _fit_tile_lanes(p: int, n8: int) -> int:
+    """Ray tile (lane axis, multiple of 128) minimising padded work.
+
+    The transposed kernels put rays on lanes: real VPU work scales with
+    the padded lane count, so the tile is chosen to minimise
+    ``programs * tile`` under a ~2MB cap on one (n8, tile) f32 array
+    (several live at once in-kernel) — e.g. 810 rays become 7x128
+    (pad 896, 0 dead tiles) instead of 2x512 (pad 1024, 26% dead).
+    """
+    cap = max(128, (2 * 1024 * 1024 // (n8 * 4)) // 128 * 128)
+    p128 = _round_up(max(p, 128), 128)
+    best = p128  # tile == p128 when it fits the cap: one program
+    if p128 <= cap:
+        return p128
+    best_total, best_tile = None, 128
+    for progs in range(1, p128 // 128 + 1):
+        tile = _round_up(-(-p128 // progs), 128)
+        if tile > cap:
+            continue
+        total = tile * progs
+        if (
+            best_total is None
+            or total < best_total
+            or (total == best_total and tile > best_tile)
+        ):
+            best_total, best_tile = total, tile
+    return best_tile
+
+
 def _fit_tile(p: int, cap: int) -> int:
     """Ray tile <= cap minimising padding: split the rays over the
     fewest programs the VMEM cap allows and round the per-program share
@@ -147,6 +185,13 @@ def path_sweep_pallas(
     (reference behaviour: utilities.py:1100-1129); padded atoms follow
     the MolArrays convention (coords ~1e6, vdw 0) and cannot win the
     min.  Returns float arrays: (ok (P,), pos (P,), cmin (P,)).
+
+    Layout: atoms on the SUBLANE axis (granularity 8), rays on lanes —
+    a lane-aligned atom axis streamed 34% dead lanes through the VPU on
+    CC3 (168 -> 256 slots).  Bitwise identical either way (the per-ray
+    arithmetic is unchanged and ``min`` never rounds); molecules above
+    :data:`_TRANSPOSE_ATOM_LIMIT` atoms keep the wide layout, whose ray
+    tile can shrink to 8 rows.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -157,6 +202,110 @@ def path_sweep_pallas(
     n = coords.shape[0]
     dtype = vectors.dtype
     big = 1.0e30  # python float: jnp scalars become captured consts in-kernel
+
+    if n > _TRANSPOSE_ATOM_LIMIT:
+        return _path_sweep_pallas_wide(
+            vectors, chunks, coords, vdw, max_steps, interpret
+        )
+
+    n8 = _round_up(max(n, 8), 8)
+    tile_p = _fit_tile_lanes(p, n8)
+    p_pad = _round_up(max(p, 128), tile_p)
+
+    vectors_t = jnp.zeros((3, p_pad), dtype).at[:, :p].set(vectors.T)
+    # padded rays walk the zero vector with chunks=1: clearance at the
+    # origin, finite and harmless; results are sliced off below.
+    chunksf_p = (
+        jnp.ones((1, p_pad), dtype).at[0, :p].set(chunks.astype(dtype))
+    )
+    coords_p = jnp.full((n8, 3), 1.0e6, dtype).at[:n].set(coords)
+    vdw_col = jnp.zeros((n8, 1), dtype).at[:n, 0].set(vdw)
+
+    def kernel(v_ref, ch_ref, x_ref, r_ref, ok_ref, pos_ref, cmin_ref):
+        ch = ch_ref[:]  # (1, tile_p)
+        r = r_ref[:]  # (n8, 1)
+
+        def body(step, carry):
+            ok, pos, cmin = carry
+            lf = step.astype(dtype)
+            frac = lf / ch  # (1, tile_p) — same div as the jnp path
+            acc = None
+            for k in range(3):
+                d = v_ref[k : k + 1, :] * frac - x_ref[:, k : k + 1]
+                acc = d * d if acc is None else acc + d * d
+            c = jnp.sqrt(acc) - r  # (n8, tile_p)
+            cl = jnp.min(c, axis=0, keepdims=True)  # (1, tile_p)
+            validl = lf <= ch
+            # dtype-pinned (a bare 1.0/0.0 where would be x64's f64)
+            ok = ok * ((cl > jnp.asarray(0.0, dtype)) | ~validl).astype(
+                dtype
+            )
+            cm = jnp.where(validl, cl, jnp.full_like(cl, big))
+            better = cm < cmin
+            cmin = jnp.where(better, cm, cmin)
+            pos = jnp.where(better, lf, pos)
+            return ok, pos, cmin
+
+        ok0 = jnp.ones((1, ch.shape[1]), dtype)
+        pos0 = jnp.zeros((1, ch.shape[1]), dtype)
+        cmin0 = jnp.full((1, ch.shape[1]), big, dtype)
+        # dynamic trip count (see _path_sweep_pallas_wide); per-tile max
+        n_steps = jnp.minimum(
+            jnp.max(ch).astype(jnp.int32) + jnp.int32(1),
+            jnp.int32(max_steps),
+        )
+        ok, pos, cmin = jax.lax.fori_loop(
+            jnp.int32(0), n_steps, body, (ok0, pos0, cmin0)
+        )
+        ok_ref[:] = ok
+        pos_ref[:] = pos
+        cmin_ref[:] = cmin
+
+    row_spec = pl.BlockSpec(
+        (1, tile_p), lambda i: (_i32(0), i), memory_space=pltpu.VMEM
+    )
+    atom_spec = lambda cols: pl.BlockSpec(  # noqa: E731
+        (n8, cols), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+    )
+    n_tiles = p_pad // tile_p
+    ok, pos, cmin = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (3, tile_p), lambda i: (_i32(0), i), memory_space=pltpu.VMEM
+            ),
+            row_spec,
+            atom_spec(3),
+            atom_spec(1),
+        ],
+        out_specs=(row_spec, row_spec, row_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, p_pad), dtype),
+            jax.ShapeDtypeStruct((1, p_pad), dtype),
+            jax.ShapeDtypeStruct((1, p_pad), dtype),
+        ),
+        interpret=interpret,
+    )(vectors_t, chunksf_p, coords_p, vdw_col)
+    return ok[0, :p], pos[0, :p], cmin[0, :p]
+
+
+def _path_sweep_pallas_wide(
+    vectors: jnp.ndarray,
+    chunks: jnp.ndarray,
+    coords: jnp.ndarray,
+    vdw: jnp.ndarray,
+    max_steps: int,
+    interpret: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Legacy atoms-on-lanes path sweep (very large molecules only)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = vectors.shape[0]
+    n = coords.shape[0]
+    dtype = vectors.dtype
+    big = 1.0e30
 
     n_pad = _round_up(max(n, 128), 128)
     # fit the ray tile to the ray count (the W-slot refinement sweep
@@ -274,12 +423,113 @@ def ray_exit_pallas(
 
     Returns float arrays (any_front (P,), max_exit (P,)); rays with no
     front intersection report max_exit = -1e30.
+
+    Layout: atoms on sublanes, rays on lanes (see
+    :func:`path_sweep_pallas`); molecules above
+    :data:`_TRANSPOSE_ATOM_LIMIT` atoms keep the wide layout.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    p = unit.shape[0]
+    n = rel.shape[0]
+    dtype = unit.dtype
+    big = 1.0e30
+
+    if n > _TRANSPOSE_ATOM_LIMIT:
+        return _ray_exit_pallas_wide(unit, rel, vdw, origin, interpret)
+
+    n8 = _round_up(max(n, 8), 8)
+    tile_p = _fit_tile_lanes(p, n8)
+    p_pad = _round_up(max(p, 128), tile_p)
+
+    unit_t = jnp.zeros((3, p_pad), dtype).at[:, :p].set(unit.T)
+    # padded atoms: rel 0 / vdw 0 -> under_sqrt = 0 -> never a hit
+    rel_p = jnp.zeros((n8, 3), dtype).at[:n].set(rel)
+    vdw_col = jnp.zeros((n8, 1), dtype).at[:n, 0].set(vdw)
+    org = jnp.zeros((1, 3), dtype).at[0].set(origin)
+
+    def kernel(u_ref, x_ref, r_ref, o_ref, anyf_ref, mexit_ref):
+        r = r_ref[:]  # (n8, 1)
+        # literals pinned to the kernel dtype (see the wide variant)
+        zero = jnp.asarray(0.0, dtype)
+        neg_big = jnp.asarray(-big, dtype)
+
+        t_ca = None
+        for k in range(3):
+            t = u_ref[k : k + 1, :] * x_ref[:, k : k + 1]
+            t_ca = t if t_ca is None else t_ca + t  # (n8, tile_p)
+        d2 = None
+        for k in range(3):
+            perp = x_ref[:, k : k + 1] - t_ca * u_ref[k : k + 1, :]
+            d2 = perp * perp if d2 is None else d2 + perp * perp
+        under = r * r - d2
+        hits = under > zero
+        t_hc = jnp.sqrt(jnp.where(hits, under, zero))
+        t0 = t_ca - t_hc
+        t1 = t_ca + t_hc
+        p0n2 = None
+        p1n2 = None
+        for k in range(3):
+            ok_ = o_ref[0:1, k : k + 1]  # (1, 1), broadcasts
+            a = ok_ + t0 * u_ref[k : k + 1, :]
+            b = ok_ + t1 * u_ref[k : k + 1, :]
+            p0n2 = a * a if p0n2 is None else p0n2 + a * a
+            p1n2 = b * b if p1n2 is None else p1n2 + b * b
+        front = hits & (p0n2 < p1n2)
+        anyf_ref[:] = jnp.max(
+            front.astype(dtype), axis=0, keepdims=True
+        )
+        exit_norm = jnp.sqrt(p1n2)
+        mexit_ref[:] = jnp.max(
+            jnp.where(front, exit_norm, neg_big), axis=0, keepdims=True
+        )
+
+    out_spec = pl.BlockSpec(
+        (1, tile_p), lambda i: (_i32(0), i), memory_space=pltpu.VMEM
+    )
+    n_tiles = p_pad // tile_p
+    anyf, mexit = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (3, tile_p), lambda i: (_i32(0), i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n8, 3), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n8, 1), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3), lambda i: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, p_pad), dtype),
+            jax.ShapeDtypeStruct((1, p_pad), dtype),
+        ),
+        interpret=interpret,
+    )(unit_t, rel_p, vdw_col, org)
+    return anyf[0, :p], mexit[0, :p]
+
+
+def _ray_exit_pallas_wide(
+    unit: jnp.ndarray,
+    rel: jnp.ndarray,
+    vdw: jnp.ndarray,
+    origin: jnp.ndarray,
+    interpret: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Legacy atoms-on-lanes intersection reduction (very large
+    molecules only — see :data:`_TRANSPOSE_ATOM_LIMIT`)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     p = unit.shape[0]
     n = rel.shape[0]
     dtype = unit.dtype

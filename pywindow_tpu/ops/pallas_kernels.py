@@ -224,16 +224,38 @@ def path_sweep_pallas(
     def kernel(v_ref, ch_ref, x_ref, r_ref, ok_ref, pos_ref, cmin_ref):
         ch = ch_ref[:]  # (1, tile_p)
         r = r_ref[:]  # (n8, 1)
+        zero = jnp.asarray(0.0, dtype)
+
+        # Gram-form distances: the probe point of ray p at step l is
+        # q = (l/ch_p) * v_p, so d^2 = frac^2 |v|^2 - 2 frac (x.v) + |x|^2
+        # with the (n8, tile_p) Gram matrix G = x.v and the squared
+        # norms hoisted OUT of the step loop — 3 full-tile ops per step
+        # (broadcast add, fused multiply-add, clamp) instead of the six
+        # of the diff form.  The clamp guards sqrt against the ~1e-5 A^2
+        # rounding of the cancelled form; a clamped probe sits inside an
+        # atom (clearance < -vdw), where c = -r keeps the ray blocked
+        # and never wins the min of an open ray.  Accuracy vs the diff
+        # form: ~1e-6 A on clearances (terms <= |q||x| ~ 1e2 at 2^-24),
+        # arbitrated by the 7-system golden gate (<0.01 A contract).
+        g = None
+        x2 = None
+        v2 = None
+        for k in range(3):
+            xk = x_ref[:, k : k + 1]  # (n8, 1)
+            vk = v_ref[k : k + 1, :]  # (1, tile_p)
+            t = xk * vk
+            g = t if g is None else g + t  # (n8, tile_p)
+            x2 = xk * xk if x2 is None else x2 + xk * xk  # (n8, 1)
+            v2 = vk * vk if v2 is None else v2 + vk * vk  # (1, tile_p)
 
         def body(step, carry):
             ok, pos, cmin = carry
             lf = step.astype(dtype)
             frac = lf / ch  # (1, tile_p) — same div as the jnp path
-            acc = None
-            for k in range(3):
-                d = v_ref[k : k + 1, :] * frac - x_ref[:, k : k + 1]
-                acc = d * d if acc is None else acc + d * d
-            c = jnp.sqrt(acc) - r  # (n8, tile_p)
+            row = frac * frac * v2  # (1, tile_p)
+            neg2f = jnp.asarray(-2.0, dtype) * frac  # (1, tile_p)
+            d2 = jnp.maximum((row + x2) + neg2f * g, zero)
+            c = jnp.sqrt(d2) - r  # (n8, tile_p)
             cl = jnp.min(c, axis=0, keepdims=True)  # (1, tile_p)
             validl = lf <= ch
             # dtype-pinned (a bare 1.0/0.0 where would be x64's f64)
@@ -329,16 +351,29 @@ def _path_sweep_pallas_wide(
         v = v_ref[:]  # (tile_p, 3)
         ch = ch_ref[:]  # (tile_p, 1)
         r = r_ref[:]  # (1, n_pad)
+        zero = jnp.asarray(0.0, dtype)
+
+        # Gram-form distances with hoisted norms — see the transposed
+        # kernel above for the derivation and the clamp rationale.
+        g = None
+        x2 = None
+        v2 = None
+        for k in range(3):
+            xk = x_ref[k : k + 1, :]  # (1, n_pad)
+            vk = v[:, k : k + 1]  # (tile_p, 1)
+            t = vk * xk
+            g = t if g is None else g + t  # (tile_p, n_pad)
+            x2 = xk * xk if x2 is None else x2 + xk * xk  # (1, n_pad)
+            v2 = vk * vk if v2 is None else v2 + vk * vk  # (tile_p, 1)
 
         def body(step, carry):
             ok, pos, cmin = carry
             lf = step.astype(dtype)
             frac = lf / ch  # (tile_p, 1) — same div as the jnp path
-            acc = None
-            for k in range(3):
-                d = v[:, k : k + 1] * frac - x_ref[k : k + 1, :]
-                acc = d * d if acc is None else acc + d * d
-            c = jnp.sqrt(acc) - r  # (tile_p, n_pad)
+            col = frac * frac * v2  # (tile_p, 1)
+            neg2f = jnp.asarray(-2.0, dtype) * frac  # (tile_p, 1)
+            d2 = jnp.maximum((col + x2) + neg2f * g, zero)
+            c = jnp.sqrt(d2) - r  # (tile_p, n_pad)
             cl = jnp.min(c, axis=1, keepdims=True)  # (tile_p, 1)
             validl = lf <= ch
             # dtype-pinned (a bare 1.0/0.0 where would be x64's f64)
@@ -411,6 +446,7 @@ def ray_exit_pallas(
     vdw: jnp.ndarray,  # (N,) vdW radii (padded slots 0)
     origin: jnp.ndarray,  # (3,) ray origin in the molecule frame
     interpret: bool | None = None,
+    want_exit: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused analytic ray/vdW-sphere intersection reduction.
 
@@ -420,6 +456,18 @@ def ray_exit_pallas(
     :1556-1583 ``vector_analysis_reversed``).  The jnp formulation
     (ops.rays.ray_sphere_intersections) materialises (P, N, 3)
     intermediates in HBM; here everything reduces over atoms in-kernel.
+
+    The 'front' test uses the algebraic identity
+    ``|p0|^2 < |p1|^2  <=>  t_hc > 0  and  t_ca + o.u > 0``
+    (expand ``|o + t u|^2 = t^2 + 2 t (o.u) + |o|^2`` with ``|u| = 1``;
+    ``t0/t1 = t_ca -/+ t_hc``), which removes both |p|^2 evaluations
+    from the (atoms x rays) block; the exit distance keeps only
+    ``|p1|^2`` in expanded form, and its sqrt is hoisted to the per-ray
+    row (sqrt is monotone, so max commutes with it bitwise).
+
+    ``want_exit=False`` (the pre-analysis, which consumes only
+    ``any_front``) skips the exit computation entirely — the slim
+    kernel needs no sqrt at all; ``max_exit`` is then -1e30 everywhere.
 
     Returns float arrays (any_front (P,), max_exit (P,)); rays with no
     front intersection report max_exit = -1e30.
@@ -439,7 +487,9 @@ def ray_exit_pallas(
     big = 1.0e30
 
     if n > _TRANSPOSE_ATOM_LIMIT:
-        return _ray_exit_pallas_wide(unit, rel, vdw, origin, interpret)
+        return _ray_exit_pallas_wide(
+            unit, rel, vdw, origin, interpret, want_exit
+        )
 
     n8 = _round_up(max(n, 8), 8)
     tile_p = _fit_tile_lanes(p, n8)
@@ -458,34 +508,39 @@ def ray_exit_pallas(
         neg_big = jnp.asarray(-big, dtype)
 
         t_ca = None
+        ou = None  # (1, tile_p) o.u per ray
+        o2 = None  # (1, 1) |o|^2
         for k in range(3):
-            t = u_ref[k : k + 1, :] * x_ref[:, k : k + 1]
+            uk = u_ref[k : k + 1, :]
+            t = uk * x_ref[:, k : k + 1]
             t_ca = t if t_ca is None else t_ca + t  # (n8, tile_p)
+            ok_ = o_ref[0:1, k : k + 1]  # (1, 1)
+            ouk = ok_ * uk
+            ou = ouk if ou is None else ou + ouk
+            o2 = ok_ * ok_ if o2 is None else o2 + ok_ * ok_
+        # perpendicular distance in the stable diff form (the gram form
+        # |x|^2 - t_ca^2 cancels catastrophically near tangency)
         d2 = None
         for k in range(3):
             perp = x_ref[:, k : k + 1] - t_ca * u_ref[k : k + 1, :]
             d2 = perp * perp if d2 is None else d2 + perp * perp
         under = r * r - d2
         hits = under > zero
-        t_hc = jnp.sqrt(jnp.where(hits, under, zero))
-        t0 = t_ca - t_hc
-        t1 = t_ca + t_hc
-        p0n2 = None
-        p1n2 = None
-        for k in range(3):
-            ok_ = o_ref[0:1, k : k + 1]  # (1, 1), broadcasts
-            a = ok_ + t0 * u_ref[k : k + 1, :]
-            b = ok_ + t1 * u_ref[k : k + 1, :]
-            p0n2 = a * a if p0n2 is None else p0n2 + a * a
-            p1n2 = b * b if p1n2 is None else p1n2 + b * b
-        front = hits & (p0n2 < p1n2)
-        anyf_ref[:] = jnp.max(
-            front.astype(dtype), axis=0, keepdims=True
-        )
-        exit_norm = jnp.sqrt(p1n2)
-        mexit_ref[:] = jnp.max(
-            jnp.where(front, exit_norm, neg_big), axis=0, keepdims=True
-        )
+        front = hits & ((t_ca + ou) > zero)
+        anyf = jnp.max(front.astype(dtype), axis=0, keepdims=True)
+        anyf_ref[:] = anyf
+        if want_exit:
+            t_hc = jnp.sqrt(jnp.where(hits, under, zero))
+            t1 = t_ca + t_hc
+            p1n2 = t1 * (t1 + (ou + ou)) + o2
+            m = jnp.max(
+                jnp.where(front, p1n2, neg_big), axis=0, keepdims=True
+            )
+            mexit_ref[:] = jnp.where(
+                anyf > zero, jnp.sqrt(jnp.maximum(m, zero)), neg_big
+            )
+        else:
+            mexit_ref[:] = jnp.full_like(anyf, neg_big)
 
     out_spec = pl.BlockSpec(
         (1, tile_p), lambda i: (_i32(0), i), memory_space=pltpu.VMEM
@@ -524,9 +579,12 @@ def _ray_exit_pallas_wide(
     vdw: jnp.ndarray,
     origin: jnp.ndarray,
     interpret: bool,
+    want_exit: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Legacy atoms-on-lanes intersection reduction (very large
-    molecules only — see :data:`_TRANSPOSE_ATOM_LIMIT`)."""
+    molecules only — see :data:`_TRANSPOSE_ATOM_LIMIT`).  Same
+    algebraic 'front' shortcut and hoisted exit sqrt as
+    :func:`ray_exit_pallas`."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -558,36 +616,41 @@ def _ray_exit_pallas_wide(
         neg_big = jnp.asarray(-big, dtype)
 
         t_ca = None
+        ou = None  # (tile_p, 1) o.u per ray
+        o2 = None  # (1, 1) |o|^2
         for k in range(3):
-            t = u[:, k : k + 1] * x_ref[k : k + 1, :]
+            uk = u[:, k : k + 1]
+            t = uk * x_ref[k : k + 1, :]
             t_ca = t if t_ca is None else t_ca + t  # (tile_p, n_pad)
+            ok_ = o_ref[0:1, k : k + 1]  # (1, 1)
+            ouk = ok_ * uk
+            ou = ouk if ou is None else ou + ouk
+            o2 = ok_ * ok_ if o2 is None else o2 + ok_ * ok_
         d2 = None
         for k in range(3):
             perp = x_ref[k : k + 1, :] - t_ca * u[:, k : k + 1]
             d2 = perp * perp if d2 is None else d2 + perp * perp
         under = r * r - d2
         hits = under > zero
-        t_hc = jnp.sqrt(jnp.where(hits, under, zero))
-        t0 = t_ca - t_hc
-        t1 = t_ca + t_hc
-        p0n2 = None
-        p1n2 = None
-        for k in range(3):
-            ok_ = o_ref[0:1, k : k + 1]  # (1, 1), broadcasts
-            a = ok_ + t0 * u[:, k : k + 1]
-            b = ok_ + t1 * u[:, k : k + 1]
-            p0n2 = a * a if p0n2 is None else p0n2 + a * a
-            p1n2 = b * b if p1n2 is None else p1n2 + b * b
-        front = hits & (p0n2 < p1n2)
-        anyf_ref[:] = jnp.max(
+        front = hits & ((t_ca + ou) > zero)
+        anyf = jnp.max(
             # dtype-pinned: bare 1.0/0.0 branches would lower as the
             # x64 default float and break the f32 output ref
             front.astype(u.dtype), axis=1, keepdims=True
         )
-        exit_norm = jnp.sqrt(p1n2)
-        mexit_ref[:] = jnp.max(
-            jnp.where(front, exit_norm, neg_big), axis=1, keepdims=True
-        )
+        anyf_ref[:] = anyf
+        if want_exit:
+            t_hc = jnp.sqrt(jnp.where(hits, under, zero))
+            t1 = t_ca + t_hc
+            p1n2 = t1 * (t1 + (ou + ou)) + o2
+            m = jnp.max(
+                jnp.where(front, p1n2, neg_big), axis=1, keepdims=True
+            )
+            mexit_ref[:] = jnp.where(
+                anyf > zero, jnp.sqrt(jnp.maximum(m, zero)), neg_big
+            )
+        else:
+            mexit_ref[:] = jnp.full_like(anyf, neg_big)
 
     out_spec = pl.BlockSpec(
         (tile_p, 1), lambda i: (i, _i32(0)), memory_space=pltpu.VMEM

@@ -156,9 +156,12 @@ def ray_sphere_intersections(
 
 
 def _ray_exit_fused(
-    points: jnp.ndarray, mol: MolArrays
+    points: jnp.ndarray, mol: MolArrays, want_exit: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(any_front, max_exit) per ray via the fused Pallas kernel."""
+    """(any_front, max_exit) per ray via the fused Pallas kernel.
+
+    ``want_exit=False`` compiles the slim any-front-only kernel (no
+    sqrt in the (atoms x rays) block); ``max_exit`` is then -1e30."""
     from pywindow_tpu.ops.pallas_kernels import ray_exit_pallas
 
     norm = jnp.linalg.norm(points, axis=-1, keepdims=True)
@@ -167,7 +170,9 @@ def _ray_exit_fused(
     rel = jnp.where(
         mol.mask[..., None], mol.coords - origin[..., None, :], 0.0
     )
-    anyf, mexit = ray_exit_pallas(unit, rel, mol.vdw, origin)
+    anyf, mexit = ray_exit_pallas(
+        unit, rel, mol.vdw, origin, want_exit=want_exit
+    )
     return anyf > 0.5, mexit
 
 
@@ -181,7 +186,7 @@ def preanalysis_open(
     if use_pallas is None:
         use_pallas = _route_path_to_pallas(points.shape[-2])
     if use_pallas:
-        anyf, _ = _ray_exit_fused(points, mol)
+        anyf, _ = _ray_exit_fused(points, mol, want_exit=False)
         return ~anyf
     inter = ray_sphere_intersections(points, mol)
     return ~jnp.any(inter.front, axis=-1)

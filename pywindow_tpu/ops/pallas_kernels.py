@@ -181,15 +181,18 @@ def path_sweep_pallas(
     ``l * vector / chunks`` (l = 0..max_steps-1, steps beyond ``chunks``
     masked), reducing over path steps AND atoms in-kernel so the
     ``(P, max_steps, N)`` intermediate of the jnp formulation never
-    reaches HBM.  Matches ``ops.rays.path_analysis`` semantics exactly
-    (reference behaviour: utilities.py:1100-1129); padded atoms follow
-    the MolArrays convention (coords ~1e6, vdw 0) and cannot win the
-    min.  Returns float arrays: (ok (P,), pos (P,), cmin (P,)).
+    reaches HBM.  Implements ``ops.rays.path_analysis`` semantics
+    (reference behaviour: utilities.py:1100-1129) in Gram form, which
+    agrees with the jnp difference form to ~1e-6 A in f32 (FMA/layout
+    rounding; the 7-system golden gate is the arbiter — exact under the
+    x64 test config).  Padded atoms follow the MolArrays convention
+    (coords ~1e6, vdw 0) and cannot win the min.  Returns float arrays:
+    (ok (P,), pos (P,), cmin (P,)).
 
     Layout: atoms on the SUBLANE axis (granularity 8), rays on lanes —
     a lane-aligned atom axis streamed 34% dead lanes through the VPU on
-    CC3 (168 -> 256 slots).  Bitwise identical either way (the per-ray
-    arithmetic is unchanged and ``min`` never rounds); molecules above
+    CC3 (168 -> 256 slots).  The two layouts agree to the same ~1e-6 A
+    (tile choice never reorders a ray's own reduction); molecules above
     :data:`_TRANSPOSE_ATOM_LIMIT` atoms keep the wide layout, whose ray
     tile can shrink to 8 rows.
     """

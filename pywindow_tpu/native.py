@@ -144,6 +144,69 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+_FASTPROPS = None
+_FASTPROPS_TRIED = False
+
+
+def fastprops():
+    """The ``_pw_fastprops`` CPython extension module, or None.
+
+    Unlike the ctypes library above this one needs the Python and numpy
+    headers (it builds Python dicts directly — see
+    ``_native/fastprops.cpp``), so it is compiled separately, on first
+    use, and imported from its build path.  Callers fall back to the
+    numpy implementation when unavailable.
+    """
+    global _FASTPROPS, _FASTPROPS_TRIED
+    if _FASTPROPS is not None or _FASTPROPS_TRIED:
+        return _FASTPROPS
+    _FASTPROPS_TRIED = True
+    import importlib.util
+    import os
+    import sysconfig
+    import tempfile
+
+    so = _so_path().parent / "_pw_fastprops.so"
+    src = _NATIVE_DIR / "fastprops.cpp"
+    if not so.is_file() or (
+        src.is_file() and src.stat().st_mtime > so.stat().st_mtime
+    ):
+        fd, tmp = tempfile.mkstemp(
+            suffix=".so", prefix="pw_fastprops_", dir=str(so.parent)
+        )
+        os.close(fd)
+        try:
+            subprocess.run(
+                [
+                    "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    "-I", sysconfig.get_paths()["include"],
+                    "-I", np.get_include(),
+                    "-o", tmp, str(src),
+                ],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            os.replace(tmp, so)
+        except (OSError, subprocess.SubprocessError) as exc:
+            logger.info(
+                "fastprops build unavailable (%s); using numpy path", exc
+            )
+            pathlib.Path(tmp).unlink(missing_ok=True)
+            return None
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_pw_fastprops", so
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    except (ImportError, OSError) as exc:  # pragma: no cover
+        logger.info("fastprops failed to load (%s); using numpy path", exc)
+        return None
+    _FASTPROPS = mod
+    return _FASTPROPS
+
+
 def bfs_molecule(
     seed: int,
     unassigned: np.ndarray,

@@ -538,7 +538,32 @@ def to_properties_dicts_bulk(
       ``np.array(list)`` construction was another ~35% of the loop
       (70.8 -> 46.2 ms at B=4320, value-identical; see
       tests/test_validation_suite.py bulk parity test).
+
+    When the native converter is available the whole loop runs in C
+    (``_native/fastprops.cpp`` — same dicts, same dtypes, array views
+    into ``flat``): ~46 -> ~3 ms at B=4320 on the single host vCPU.
+    This numpy body is the fallback and the parity arbiter.
     """
+    from pywindow_tpu.native import fastprops
+
+    fp = fastprops()
+    if fp is not None:
+        flat_c = np.ascontiguousarray(flat)
+        if flat_c.dtype in (np.float32, np.float64):
+            out, warn_failed, warn_negative = fp.props_dicts(
+                flat_c, max_windows
+            )
+            for _ in warn_failed:
+                logger.warning(
+                    "one of the analysed windows has returned as None "
+                    "(refinement failed); see manual"
+                )
+            for _ in warn_negative:
+                logger.warning(
+                    "one of the analysed windows has a vdW-corrected "
+                    "diameter smaller than 0; see manual"
+                )
+            return out
     w = max_windows
     off = 21
     b = flat.shape[0]

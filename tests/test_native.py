@@ -90,3 +90,77 @@ def test_native_frame_max_dim_pruned_matches_full():
     )
     for i in frames:
         assert maxd[i] == max_dim_host(el, xyz[i]), i
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_native_props_dicts_matches_numpy(dtype, caplog):
+    """The C properties-dict converter (_pw_fastprops) must produce
+    value-, dtype- AND type-identical dicts to the numpy fallback on
+    every branch (no-windows, masked slots, failed/negative warnings,
+    all three escalation markers)."""
+    import logging
+
+    from pywindow_tpu.ops.analysis import (
+        packed_size,
+        to_properties_dicts_bulk,
+    )
+
+    if native.fastprops() is None:
+        pytest.skip("fastprops extension unavailable")
+
+    w = 8
+    b = 64
+    rng = np.random.default_rng(3)
+    flat = rng.uniform(-5, 25, (b, packed_size(w))).astype(dtype)
+    off = 21
+    flat[:, 11] = (rng.random(b) > 0.25).astype(dtype)  # any_open
+    flat[:, 12] = rng.integers(0, 2 * w, b)  # n_clusters
+    flat[:, 13] = (rng.random(b) > 0.9).astype(dtype)  # overflow
+    flat[:, 14] = (rng.random(b) > 0.9).astype(dtype)  # budget
+    flat[:, off + w : off + 2 * w] = rng.integers(0, 2, (b, w)).astype(
+        dtype
+    )
+    flat[:, off + 2 * w : off + 3 * w] = (
+        rng.random((b, w)) > 0.95
+    ).astype(dtype)
+
+    def run(force_numpy):
+        saved = (native._FASTPROPS, native._FASTPROPS_TRIED)
+        if force_numpy:
+            native._FASTPROPS, native._FASTPROPS_TRIED = None, True
+        try:
+            with caplog.at_level(logging.WARNING, "pywindow_tpu"):
+                caplog.clear()
+                out = to_properties_dicts_bulk(flat, w)
+                warnings = sorted(r.message for r in caplog.records)
+            return out, warnings
+        finally:
+            native._FASTPROPS, native._FASTPROPS_TRIED = saved
+
+    got, got_warn = run(force_numpy=False)
+    want, want_warn = run(force_numpy=True)
+    assert got_warn == want_warn and got_warn  # branches exercised
+    assert len(got) == len(want) == b
+    for g, x in zip(got, want):
+        assert set(g) == set(x)
+        for key in x:
+            gv, xv = g[key], x[key]
+            if isinstance(xv, dict):
+                assert set(gv) == set(xv)
+                for k2 in xv:
+                    g2, x2 = gv[k2], xv[k2]
+                    if x2 is None:
+                        assert g2 is None
+                    elif isinstance(x2, np.ndarray):
+                        np.testing.assert_array_equal(g2, x2)
+                        assert g2.dtype == x2.dtype
+                    else:
+                        assert g2 == x2 and type(g2) is type(x2)
+            elif isinstance(xv, np.ndarray):
+                np.testing.assert_array_equal(gv, xv)
+                assert gv.dtype == xv.dtype
+            else:
+                assert gv == xv and type(gv) is type(xv), key
+    # the centre-of-mass fields are views into the caller's block in
+    # both implementations (no per-frame copies)
+    assert got[0]["centre_of_mass"].base is not None

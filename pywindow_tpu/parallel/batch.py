@@ -34,13 +34,17 @@ from pywindow_tpu.parallel.mesh import (
 )
 
 
-@functools.lru_cache(maxsize=32)
-def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
-    """mesh_key: None (unsharded), "frames" (1-D device mesh),
-    ("hosts", n_hosts) for the single-process hosts x frames grid, or
-    ("procs", mesh, sharding) for a real multi-process mesh built by
-    :mod:`pywindow_tpu.parallel.distributed` (Mesh/NamedSharding are
-    hashable, so the compiled program is still memoised per mesh)."""
+def _make_batched(n_win, n_avg, l1, l2, cfg, allow_pallas_pore=True):
+    """The (B,)-batched full-analysis callable shared by the jit
+    wrappers below.
+
+    With ``allow_pallas_pore`` (TPU production path, unsharded) the
+    pore-centre stage runs the fused Pallas optimiser kernel over the
+    WHOLE batch (a pallas_call does not auto-partition, so sharded
+    meshes pass False and keep the vmapped jnp driver), then the rest
+    of the pipeline vmaps as usual with the centres injected per
+    molecule.
+    """
 
     def fn(mol, pore_centre=None, pore_capped=None):
         return pack_results(
@@ -58,12 +62,7 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
 
     from pywindow_tpu.ops.analysis import route_pore_stage
 
-    if mesh_key is None and route_pore_stage(cfg):
-        # TPU production path: the pore-centre stage runs the fused
-        # Pallas optimiser kernel over the WHOLE batch (a pallas_call
-        # does not auto-partition, so sharded meshes keep the vmapped
-        # jnp driver), then the rest of the pipeline vmaps as usual
-        # with the centres injected per molecule.
+    if allow_pallas_pore and route_pore_stage(cfg):
         from pywindow_tpu.config import effective_budgets
         from pywindow_tpu.ops.lbfgsb_pallas import pore_centres_pallas
 
@@ -73,8 +72,20 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
             centres, capped = pore_centres_pallas(mols, opt_maxiter)
             return jax.vmap(fn)(mols, centres, capped)
 
-    else:
-        batched = jax.vmap(fn)
+        return batched
+    return jax.vmap(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
+    """mesh_key: None (unsharded), "frames" (1-D device mesh),
+    ("hosts", n_hosts) for the single-process hosts x frames grid, or
+    ("procs", mesh, sharding) for a real multi-process mesh built by
+    :mod:`pywindow_tpu.parallel.distributed` (Mesh/NamedSharding are
+    hashable, so the compiled program is still memoised per mesh)."""
+    batched = _make_batched(
+        n_win, n_avg, l1, l2, cfg, allow_pallas_pore=mesh_key is None
+    )
     if mesh_key is None:
         return jax.jit(batched)
     if isinstance(mesh_key, tuple) and mesh_key[0] == "procs":
@@ -99,6 +110,43 @@ def _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg, mesh_key=None):
             out_shardings=out_shardings,
         )
     return jax.jit(batched, in_shardings=(shardings,))
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_sweep_step(n_win, n_avg, l1, l2, cfg, pad_cols, mesh_key=None):
+    """ONE-dispatch sweep step: tight ``(c, n, 3)`` coordinates in,
+    packed results out.
+
+    The device-side atom padding (same FAR_AWAY constant as the host
+    encode — bitwise-identical pipeline input) and the MolArrays
+    assembly happen INSIDE the jit: a sweep chunk then costs a single
+    execute round-trip where the separate pad jit + analysis jit cost
+    two (measured ~27 ms of latency per call over the tunneled TPU,
+    ~147 ms/chunk of sweep_dispatch at B=4320 before the fusion).
+    """
+    from pywindow_tpu.ops.encoding import FAR_AWAY
+
+    batched = _make_batched(
+        n_win, n_avg, l1, l2, cfg, allow_pallas_pore=mesh_key is None
+    )
+
+    def stepf(tight, mass, vdw, cov, mask):
+        coords = jnp.pad(
+            tight,
+            ((0, 0), (0, pad_cols), (0, 0)),
+            constant_values=np.asarray(FAR_AWAY, tight.dtype),
+        )
+        return batched(MolArrays(coords, mass, vdw, cov, mask))
+
+    if mesh_key is None:
+        return jax.jit(stepf)
+    if isinstance(mesh_key, tuple) and mesh_key[0] == "hosts":
+        mesh = host_device_mesh(n_hosts=mesh_key[1])
+        sharding = host_batch_sharding(mesh)
+    else:
+        mesh = frame_mesh()
+        sharding = batch_sharding(mesh)
+    return jax.jit(stepf, in_shardings=(sharding,) * 5)
 
 
 #: HBM working budget for auto-sizing (v5e has 15.75 GiB usable; leave
@@ -577,7 +625,6 @@ def _sweep_frames(
     from pywindow_tpu import profiling
     from pywindow_tpu.config import default_dtype, pad_multiple
     from pywindow_tpu.ops.encoding import (
-        FAR_AWAY,
         _encode_host,
         round_up,
     )
@@ -696,29 +743,18 @@ def _sweep_frames(
                     for row in (mass, vdw, cov, mask)
                 )
             return fields_cache[m]
-        fn = _compiled_batch_analysis(
-            n_win, n_avg, l1, l2, cfg,
-            mesh_key="frames" if shard else None,
-        )
 
         # host->device bytes are the sweep's bottleneck next to the
-        # fused device pipeline (~45 MB/s over the tunneled TPU), so
-        # chunks ship TIGHT — (c, n, 3), no atom padding — and a tiny
-        # separate jit pads to n_pad on device with the same FAR_AWAY
-        # constant (bitwise-identical pipeline input, 33% fewer bytes
-        # for CC3's 168->256 padding).  Two alternating scratch buffers
-        # replace the per-chunk np.full: a buffer is reused two chunks
-        # later, after its transfer has certainly completed (the
-        # one-deep pipeline fetches chunk k before dispatching k+2).
+        # fused device pipeline (~20-130 MB/s over the tunneled TPU),
+        # so chunks ship TIGHT — (c, n, 3), no atom padding — and the
+        # compiled step pads to n_pad ON DEVICE inside the same jit
+        # (bitwise-identical pipeline input, 33% fewer bytes for CC3's
+        # 168->256 padding, ONE execute round-trip per chunk).
         pad_cols = n_pad - n
-
-        @jax.jit
-        def _pad_dev(tight):
-            return jnp.pad(
-                tight,
-                ((0, 0), (0, pad_cols), (0, 0)),
-                constant_values=np.asarray(FAR_AWAY, dtype),
-            )
+        step_fn = _compiled_sweep_step(
+            n_win, n_avg, l1, l2, cfg, pad_cols,
+            mesh_key="frames" if shard else None,
+        )
 
         # buffer reuse only off-CPU: the CPU backend may alias numpy
         # buffers zero-copy in device_put, where reuse would corrupt an
@@ -743,8 +779,9 @@ def _sweep_frames(
             with profiling.stage("sweep_h2d"):
                 tight = jnp.asarray(buf)
             with profiling.stage("sweep_dispatch"):
-                mols = MolArrays(_pad_dev(tight), *fields_for(m))
-                return (fn(mols), hi - lo, cfg, pin)
+                return (
+                    step_fn(tight, *fields_for(m)), hi - lo, cfg, pin
+                )
 
         def finish(lo, hi, handle):
             results = collect_batch(handle)

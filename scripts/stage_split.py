@@ -113,7 +113,25 @@ def main():
         lambda m: pack_results(full_analysis_device(
             m, n_win, n_avg, l1, l2, cfg)))), mols)
 
-    timeit("pore_opt stable", red(vb(
+    # PRODUCTION step: the exact compiled program the sweep dispatches
+    # (Pallas pore routing on TPU, full packed-result fetch) — the row
+    # the ledger's kernel f/s derives from.
+    from pywindow_tpu.parallel.batch import _compiled_batch_analysis
+
+    timeit("PRODUCTION step (routed, full fetch)",
+           _compiled_batch_analysis(n_win, n_avg, l1, l2, cfg), mols)
+
+    from pywindow_tpu.ops.analysis import route_pore_stage
+
+    if route_pore_stage(cfg):
+        from pywindow_tpu.config import effective_budgets
+        from pywindow_tpu.ops.lbfgsb_pallas import pore_centres_pallas
+
+        opt_maxiter, _ = effective_budgets(cfg)
+        timeit("pore_centres_pallas (production)", jax.jit(
+            lambda m: pore_centres_pallas(m, opt_maxiter)[0]), mols)
+
+    timeit("pore_opt stable (jnp driver)", red(vb(
         lambda m: optimise_pore_centre_res(m, cfg))), mols)
 
     timeit("max_dim + pore_diameter + com", red(vb(

@@ -50,7 +50,7 @@ HISTORY = os.path.join(
 )
 
 
-def timeit(label, fn, *args, reps=5):
+def timeit(label, fn, *args, reps=5, sink=None, quiet=False):
     out = fn(*args)
     np.asarray(jax.tree_util.tree_leaves(out)[0])
     t0 = time.perf_counter()
@@ -64,6 +64,7 @@ def timeit(label, fn, *args, reps=5):
     # flops do not appear), so rows dominated by a fused kernel report
     # the jnp-visible portion only — noted per row as "jnp-visible".
     note = ""
+    roof = None
     try:
         import bench as _bench
 
@@ -76,12 +77,19 @@ def timeit(label, fn, *args, reps=5):
             )
     except Exception:
         pass
-    print(f"{label:34s} {dt*1e3:8.1f} ms{note}")
+    if not quiet:
+        print(f"{label:34s} {dt*1e3:8.1f} ms{note}")
+    if sink is not None:
+        sink.append({"stage": label, "ms": round(dt * 1e3, 1),
+                     **(roof or {})})
     return dt
 
 
-def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4320
+def run(batch=4320, reps=5, quiet=False):
+    """Time every pipeline stage at ``batch``; returns the row dicts
+    (stage, ms, roofline fractions).  Used by the CLI below and by
+    ``bench.py`` for the per-kernel roofline record."""
+    rows: list[dict] = []
     cfg = DEFAULT_CONFIG
     traj = pw.DLPOLY(HISTORY)
     el, co, maxd_pf = traj._sweep_decode_native(
@@ -89,9 +97,15 @@ def main():
     )
     maxd = float(max(maxd_pf))
     n_win, n_avg, l1, l2 = static_sizes(maxd, cfg)
-    print(f"B={batch} P_win={n_win} P_avg={n_avg} l1={l1} l2={l2} "
-          f"K={open_cap(n_win, cfg.open_cap_frac)}")
+    if not quiet:
+        print(f"B={batch} P_win={n_win} P_avg={n_avg} l1={l1} l2={l2} "
+              f"K={open_cap(n_win, cfg.open_cap_frac)}")
     mols = encode_batch([(el, co[i % len(co)]) for i in range(batch)])
+
+    def timeit(label, fn, *args):
+        return globals()["timeit"](
+            label, fn, *args, reps=reps, sink=rows, quiet=quiet
+        )
 
     # overhead: dispatch + scalar fetch round trip
     noop = jax.jit(lambda m: jnp.sum(m.coords[:, 0, 0]))
@@ -192,7 +206,13 @@ def main():
     timeit("find_windows (full)", red(vb(
         lambda m: find_windows(m, n_win, l1, l2, cfg).diameters)), mols)
 
-    print(f"(overhead {ovh*1e3:.1f} ms included in each row)")
+    if not quiet:
+        print(f"(overhead {ovh*1e3:.1f} ms included in each row)")
+    return rows
+
+
+def main():
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 4320)
 
 
 if __name__ == "__main__":

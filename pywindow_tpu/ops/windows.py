@@ -449,14 +449,30 @@ def find_windows(
     # dense eps-graph: measured faster than the (P, K) candidate-list
     # variant on TPU (gathers lose to the regular (P, P) compute here;
     # cluster.dbscan_spiral remains available for gather-friendly
-    # backends)
-    labels, n_clusters = dbscan(
-        cpoints,
-        survives,
-        eps,
-        min_samples=cfg.dbscan_min_samples,
-        max_clusters=cfg.max_windows,
+    # backends).  On TPU the whole clustering fuses into one Pallas
+    # program per frame tile (VMEM-resident adjacency — the jnp path's
+    # (B, K, K) HBM predicate was ~67 ms of the B=8640 step).
+    from pywindow_tpu.ops.cluster_pallas import (
+        dbscan_pallas,
+        route_dbscan_to_pallas,
     )
+
+    if route_dbscan_to_pallas(cpoints.shape[0]):
+        labels, n_clusters = dbscan_pallas(
+            cpoints,
+            survives,
+            eps,
+            min_samples=cfg.dbscan_min_samples,
+            max_clusters=cfg.max_windows,
+        )
+    else:
+        labels, n_clusters = dbscan(
+            cpoints,
+            survives,
+            eps,
+            min_samples=cfg.dbscan_min_samples,
+            max_clusters=cfg.max_windows,
+        )
 
     # any valid surviving ray: empty window slots refine this instead of
     # a garbage vector, so their (discarded) optimiser lanes converge

@@ -61,13 +61,20 @@ def test_walkthrough_01_structural_properties(tmp_path, monkeypatch):
 
 
 def test_walkthrough_02_rdkit_input(tmp_path, monkeypatch):
-    # the walkthrough imports rdkit; without it installed, the same
+    # the walkthrough imports rdkit; without a REAL rdkit the same
     # loader path is driven through the duck-typed Mol the io layer
-    # provides (exactly what examples/example_2 falls back to)
+    # provides (exactly what examples/example_2 falls back to).
+    # Capability-checked, not import-checked: test_reference_surface
+    # leaves a bare rdkit stub (logger only) in sys.modules for the
+    # reference import, so `import rdkit` succeeding proves nothing.
     def preamble(ns, _):
         try:
-            import rdkit  # noqa: F401
-        except ImportError:
+            import rdkit
+
+            usable = hasattr(rdkit.Chem, "MolFromMol2File")
+        except (ImportError, AttributeError):
+            usable = False
+        if not usable:
             from pywindow_tpu.io.inputs import Input, rdkit_like_mol
 
             chem = types.ModuleType("rdkit.Chem")

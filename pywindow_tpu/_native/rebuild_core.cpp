@@ -655,6 +655,7 @@ long batch_decode(
     long n_frames, long n_atoms, const char* ref_ids, double* xyz,
     float* xyz32, const double* vdw, double* maxd, long n_threads,
     int64_t* ids_match, DecodeFn decode_one) {
+    if (xyz == nullptr && xyz32 == nullptr) return -1;  // no output sink
     std::atomic<long> first_fail(-1);
     std::atomic<bool> all_ids_match(true);
     if (n_threads < 1) n_threads = 1;
@@ -665,10 +666,20 @@ long batch_decode(
 
     auto worker = [&](long lo, long hi) {
         std::vector<char> ids(static_cast<size_t>(n_atoms) * 9);
+        // xyz == nullptr: f32-only mode — parse into a one-frame
+        // L1-resident scratch instead of streaming a full (F, N, 3)
+        // f64 block through the cache (the sweep's f32 pipeline never
+        // reads the f64 store; skipping it halves the decode's memory
+        // writes and drops the per-slab 17 MB allocation).
+        std::vector<double> scratch(
+            xyz == nullptr ? static_cast<size_t>(n_atoms) * 3 : 0);
         bool local_match = true;
         for (long i = lo; i < hi; ++i) {
             if (first_fail.load(std::memory_order_relaxed) >= 0) return;
-            double* frame_xyz = xyz + static_cast<size_t>(i) * n_atoms * 3;
+            double* frame_xyz =
+                xyz != nullptr
+                    ? xyz + static_cast<size_t>(i) * n_atoms * 3
+                    : scratch.data();
             long got = decode_one(
                 text + starts[i], ends[i] - starts[i], ids.data(),
                 frame_xyz);

@@ -412,6 +412,13 @@ def _decode_frames_batch(fn_name, buf, starts, ends, n_atoms, ref_ids,
         assert out64.shape == (f, n_atoms, 3)
         assert out64.dtype == np.float64 and out64.flags.c_contiguous
         xyz = out64
+    elif out32 is not None:
+        # f32-only mode: no f64 store at all — the decoder parses into
+        # a per-thread one-frame scratch (see batch_decode) and writes
+        # only the pipeline-dtype copy.  Saves the per-slab (F, N, 3)
+        # f64 allocation + its stream of cold-page writes on the
+        # single-vCPU host.
+        xyz = None
     else:
         xyz = np.empty((f, n_atoms, 3), dtype=np.float64)
     if out32 is not None:
@@ -433,7 +440,7 @@ def _decode_frames_batch(fn_name, buf, starts, ends, n_atoms, ref_ids,
         *extra,
         n_atoms,
         ref_ids,
-        _ptr(xyz, ctypes.c_double),
+        _ptr(xyz, ctypes.c_double) if xyz is not None else null_d,
         _ptr(out32, ctypes.c_float) if out32 is not None else null_f,
         _ptr(vdw, ctypes.c_double) if vdw is not None else null_d,
         _ptr(maxd, ctypes.c_double) if maxd is not None else null_d,

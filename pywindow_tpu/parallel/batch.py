@@ -641,23 +641,31 @@ def _sweep_frames(
         elements, np.zeros((n, 3)), n_pad, dtype
     )
 
-    # decoded frames accumulate here (f64 for the escalation retries'
-    # re-encode, pipeline dtype for the tight per-chunk transfers); a
-    # restart never re-decodes
+    # decoded frames accumulate here in the pipeline dtype; a restart
+    # never re-decodes.  The separate f64 store exists only when the
+    # pipeline itself is f64 (x64 mode) or the frames were preloaded:
+    # in f32 production mode the escalation retries re-encode from the
+    # f32 store, which is the SAME value the pipeline would see from a
+    # f64 source (f64 -> f32 rounds once, here or there), so keeping a
+    # (F, N, 3) f64 block alive cost 2x the decode's memory writes for
+    # nothing.
+    direct_out = bool(getattr(decode_slab, "supports_out", False))
+    f32_out = dtype == np.float32
+    keep64 = preloaded_co64 is not None or not f32_out
     co64 = (
         preloaded_co64
         if preloaded_co64 is not None
-        else np.empty((n_frames, n, 3), dtype=np.float64)
+        else (
+            np.empty((n_frames, n, 3), dtype=np.float64)
+            if keep64
+            else None
+        )
     )
     coords_t = np.empty((n_frames, n, 3), dtype=dtype)
+    # the retry/restart coordinate source: f64 when we have it
+    co_retry = co64 if keep64 else coords_t
     maxd_pf = np.empty(n_frames, dtype=np.float64)
     state = {"decoded": 0}
-
-    # native decoders can fill the sweep's f64 store AND the pipeline-
-    # dtype copy in one pass (decode_slab.supports_out); the generic
-    # contract returns the slab and the copies happen here.
-    direct_out = bool(getattr(decode_slab, "supports_out", False))
-    f32_out = dtype == np.float32
 
     def decode_into(hi: int) -> None:
         with profiling.stage("sweep_decode"):
@@ -665,16 +673,18 @@ def _sweep_frames(
             if direct_out:
                 _, md = decode_slab(
                     lo, hi,
-                    out64=co64[lo:hi],
+                    out64=co64[lo:hi] if keep64 else None,
                     out32=coords_t[lo:hi] if f32_out else None,
                 )
                 if not f32_out:
                     coords_t[lo:hi] = co64[lo:hi]
             else:
                 co, md = decode_slab(lo, hi)
-                if co is not None:
+                if co is not None and keep64:
                     co64[lo:hi] = co
-                coords_t[lo:hi] = co64[lo:hi]
+                coords_t[lo:hi] = (
+                    co64[lo:hi] if co is None or keep64 else co
+                )
             maxd_pf[lo:hi] = md
             state["decoded"] = hi
 
@@ -786,7 +796,7 @@ def _sweep_frames(
         def finish(lo, hi, handle):
             results = collect_batch(handle)
             results = retry_saturated_windows(
-                [(elements, co64[i]) for i in range(lo, hi)],
+                [(elements, co_retry[i]) for i in range(lo, hi)],
                 results,
                 cfg,
                 reference_max_diameter=pin,

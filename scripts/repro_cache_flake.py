@@ -1,30 +1,39 @@
-"""Standalone repro attempt for the full-suite compile-cache crash.
+"""Standalone repro attempt for the full-suite XLA scale crash.
 
-THE BUG (bisected 2026-08-18, see .claude/skills/verify/SKILL.md and
-tests/conftest.py::pytest_collection_finish): one process that
-accumulates ~190 compiled XLA programs with the jax persistent
-compilation cache ENABLED can die with a fatal signal
-(``Fatal Python error: Segmentation fault`` / ``Aborted``) inside XLA's
-executable (de)serialisation — ``put_executable_and_time`` on cold
-cache dirs, the deserialize path on warm ones.  Every pytest file
-passes standalone and each suite half passes; only the accumulated
-scale triggers it, which points at jax/XLA, not repo code.
+THE BUG (bisected 2026-08-18, extended 2026-08-21; see
+.claude/skills/verify/SKILL.md and tests/conftest.py): one process
+that accumulates ~200 compiled XLA programs can die with a fatal
+signal (``Fatal Python error: Segmentation fault`` / ``Aborted``).
+Observed crash sites, all deep in jax/XLA:
 
-This script reproduces that scale WITHOUT pytest: it compiles
+* ``put_executable_and_time`` (persistent-cache serialize, cold dirs);
+* the executable deserialize path (warm cache dirs);
+* 2026-08-21: ``compiler.py backend_compile_and_load`` itself with the
+  persistent cache DISABLED (full suite, cache off via the conftest
+  mitigation, segfault at ~95% inside test_windows) — so the cache is
+  an aggravator, not the root cause, and disabling it does NOT make
+  one-process full runs safe.
+
+Every pytest file passes standalone and each suite third/half passes;
+only the accumulated scale triggers it, which points at jax/XLA, not
+repo code.  ``scripts/run_suite.py`` is the deterministic-green
+wrapper (sharded subprocesses).
+
+This script reproduces the scale WITHOUT pytest: it compiles
 ``--programs`` distinct programs (default 200) shaped like the suite's
 window pipelines (vmapped while-loops + reductions over distinct
-static shapes, so each is a separate cache entry of nontrivial size)
-with the persistent cache pointed at ``--cache-dir``.
+static shapes, so each is a separate nontrivial executable), with the
+persistent cache pointed at ``--cache-dir`` or disabled.
 
 Usage:
     python scripts/repro_cache_flake.py                # cold serialize leg
     python scripts/repro_cache_flake.py                # warm deserialize leg
-    python scripts/repro_cache_flake.py --no-cache     # control (never crashes)
+    python scripts/repro_cache_flake.py --no-cache     # pure-compile leg
 
 Exit code 0 = survived (no repro this run); a crash kills the process
 with the XLA fatal-signal banner.  The crash is probabilistic at this
-scale — the suite needs the full ~190-program load to hit it reliably,
-so run both legs a few times before concluding anything.  Keep
+scale — the suite needs the full ~200-program load to hit it at all —
+so run each leg several times before concluding anything.  Keep
 ``--cache-dir`` OFF the repo tree so repo test runs are unaffected.
 """
 

@@ -33,15 +33,20 @@ DATA = pathlib.Path(__file__).parent / "data"
 def pytest_collection_finish(session) -> None:
     """Disable the persistent compile cache for full-suite-scale runs.
 
-    KNOWN FLAKE (bisected 2026-08-18, see .claude/skills/verify/
-    SKILL.md): one process accumulating ~190 compiled programs can die
-    with a fatal signal inside XLA's executable (de)serialisation on
-    the jax compile-cache path (``put_executable_and_time`` cold, the
-    deserialize path warm).  Every file passes standalone and each
-    suite half passes — the trigger is scale, not repo code.  Since the
-    crash lives entirely in the cache's (de)serialisation, full-suite
-    sessions (the only scale that reaches it) run with the persistent
-    cache off; per-file and ``-m "not slow"`` iteration runs keep it.
+    KNOWN FLAKE (bisected 2026-08-18, extended 2026-08-21; see
+    scripts/repro_cache_flake.py): one process accumulating ~200
+    compiled programs can die with a fatal signal inside jax/XLA —
+    on the persistent-cache (de)serialisation paths
+    (``put_executable_and_time`` cold, the deserialize path warm) AND,
+    with the cache disabled, inside ``backend_compile_and_load``
+    itself (full-suite run, 2026-08-21, segfault at ~95% in
+    test_windows).  Every file passes standalone and each suite
+    shard passes — the trigger is scale, not repo code, and the cache
+    is an aggravator rather than the root cause.  Full-suite sessions
+    still drop the cache (it removes the two most-seen crash sites);
+    the RELIABLE way to run everything is the sharded wrapper
+    ``python scripts/run_suite.py`` (used by CI too).  Per-file and
+    ``-m "not slow"`` iteration runs keep the cache for speed.
     Escape hatch: PYWINDOW_TPU_KEEP_COMPILE_CACHE=1.
     """
     if os.environ.get("PYWINDOW_TPU_KEEP_COMPILE_CACHE") == "1":

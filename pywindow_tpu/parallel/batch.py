@@ -164,6 +164,10 @@ HBM_BUDGET_BYTES = int(14 * 1024**3)
 #: next to the executing chunk's temps.
 _PIPELINE_DEPTH = 3
 
+#: Learned sticky cap escalations per (system hash, padded atoms, base
+#: config) — see the sticky-escalation block in :func:`_sweep_frames`.
+_LEARNED_CAPS: dict = {}
+
 
 def max_safe_batch(
     n_atoms: int,
@@ -692,6 +696,24 @@ def _sweep_frames(
     shard = n_dev > 1
     streaming = bound_maxd is None
 
+    # sticky cap escalation: when MOST of a chunk outgrows a static cap
+    # (open-ray compaction overflow or window-slot saturation — e.g.
+    # every MIBQAR frame overflows the CC3-sized open cap), dispatching
+    # later chunks at the escalated config directly replaces a
+    # doubled-work serial retry on EVERY chunk (measured: the 424-atom
+    # MIBQAR e2e sweep ran each 1200-frame chunk twice,
+    # dispatch+collect serialised, 1.6k f/s vs a 10.2k f/s kernel).
+    # Survives streaming restarts; per-frame budget escalations stay
+    # per-chunk (full budgets would slow every vmapped lane).  The
+    # learned caps are remembered per (system, base config) for the
+    # life of the process — chunks already in the pipeline when the
+    # first escalation lands still pay the per-chunk retry, so a NEW
+    # sweep of the same system (a resume, the next trajectory segment)
+    # should open directly at the learned caps, like a compile cache
+    # for cap autotuning.
+    esc_key = (hash(elements.tobytes()), n_pad, cfg)
+    cfg_live = {"cfg": _LEARNED_CAPS.get(esc_key, cfg)}
+
     def current_sizes() -> tuple:
         run_max = (
             bound_maxd
@@ -761,10 +783,16 @@ def _sweep_frames(
         # (bitwise-identical pipeline input, 33% fewer bytes for CC3's
         # 168->256 padding, ONE execute round-trip per chunk).
         pad_cols = n_pad - n
-        step_fn = _compiled_sweep_step(
-            n_win, n_avg, l1, l2, cfg, pad_cols,
-            mesh_key="frames" if shard else None,
-        )
+
+        def step_for(c_cfg):
+            # _compiled_sweep_step is lru_cached on (sizes, cfg), so
+            # the escalated variant compiles once per sweep
+            return _compiled_sweep_step(
+                n_win, n_avg, l1, l2, c_cfg, pad_cols,
+                mesh_key="frames" if shard else None,
+            )
+
+        step_for(cfg_live["cfg"])  # compile the opening config eagerly
 
         # buffer reuse only off-CPU: the CPU backend may alias numpy
         # buffers zero-copy in device_put, where reuse would corrupt an
@@ -789,18 +817,56 @@ def _sweep_frames(
             with profiling.stage("sweep_h2d"):
                 tight = jnp.asarray(buf)
             with profiling.stage("sweep_dispatch"):
+                c_cfg = cfg_live["cfg"]
                 return (
-                    step_fn(tight, *fields_for(m)), hi - lo, cfg, pin
+                    step_for(c_cfg)(tight, *fields_for(m)),
+                    hi - lo,
+                    c_cfg,
+                    pin,
                 )
 
         def finish(lo, hi, handle):
+            import dataclasses
+
+            from pywindow_tpu.config import MAX_WINDOWS_CEILING
+
+            chunk_cfg = handle[2]
             results = collect_batch(handle)
+            esc: dict = {}
             results = retry_saturated_windows(
                 [(elements, co_retry[i]) for i in range(lo, hi)],
                 results,
-                cfg,
+                chunk_cfg,
+                escalation_sink=esc,
                 reference_max_diameter=pin,
             )
+            # sticky escalation for LATER chunks: only when the marker
+            # is endemic (majority of the chunk) — a stray frame is
+            # cheaper through the per-chunk retry it just took.  The
+            # single-collector ordering makes this deterministic.
+            endemic = (hi - lo) // 2
+            live = cfg_live["cfg"]
+            if esc.get("open_overflow", 0) > endemic:
+                frac = 2.0 * chunk_cfg.open_cap_frac
+                if frac > live.open_cap_frac:
+                    live = dataclasses.replace(
+                        live, open_cap_frac=frac
+                    )
+            if esc.get("window_sat", 0) > endemic:
+                w = min(
+                    2 * chunk_cfg.max_windows, MAX_WINDOWS_CEILING
+                )
+                if w > live.max_windows:
+                    live = dataclasses.replace(live, max_windows=w)
+            if live is not cfg_live["cfg"]:
+                # HBM guard: an escalated program has bigger temps; if
+                # the model says the chunk no longer fits, keep the
+                # per-chunk retry path instead
+                if max_safe_batch(n_pad, pin, live) >= c:
+                    cfg_live["cfg"] = live
+                    if len(_LEARNED_CAPS) > 32:
+                        _LEARNED_CAPS.clear()
+                    _LEARNED_CAPS[esc_key] = live
             with profiling.stage("sweep_on_batch"):
                 on_batch(np.arange(lo, hi, dtype=np.int64), results)
 
@@ -902,6 +968,7 @@ def retry_saturated_windows(
     systems,
     results: list[dict],
     cfg: AnalysisConfig,
+    escalation_sink: dict | None = None,
     **analyze_kwargs,
 ) -> list[dict]:
     """Escalate molecules whose device run outgrew a static cap.
@@ -917,6 +984,12 @@ def retry_saturated_windows(
       (the reference has no cap at all).
 
     Pops both markers from every result.
+
+    ``escalation_sink``: when given, receives the per-marker counts
+    (``open_overflow`` / ``budget`` / ``window_sat``) so a sweep can
+    escalate its OWN config for later chunks instead of paying this
+    retry on every chunk (see the sticky-escalation block in
+    :func:`_sweep_frames`).
     """
     import dataclasses
     import logging
@@ -928,6 +1001,8 @@ def retry_saturated_windows(
         for i, r in enumerate(results)
         if r.pop("_open_cap_overflow", False)
     ]
+    if escalation_sink is not None:
+        escalation_sink["open_overflow"] = len(over)
     if over:
         cfg2 = dataclasses.replace(
             cfg, open_cap_frac=2.0 * cfg.open_cap_frac
@@ -944,6 +1019,8 @@ def retry_saturated_windows(
         for i, r in enumerate(results)
         if r.pop("_opt_budget_exceeded", False)
     ]
+    if escalation_sink is not None:
+        escalation_sink["budget"] = len(budget)
     if budget and cfg.fast_budgets:
         # full optimiser budgets for the stray lanes only: the fused
         # batch runs capped (the vmapped while_loops pay the SLOWEST
@@ -961,6 +1038,8 @@ def retry_saturated_windows(
         for i, r in enumerate(results)
         if r.pop("_window_cap_saturated", False)
     ]
+    if escalation_sink is not None:
+        escalation_sink["window_sat"] = len(idxs)
     if not idxs:
         return results
     if cfg.max_windows >= MAX_WINDOWS_CEILING:

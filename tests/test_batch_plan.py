@@ -79,3 +79,56 @@ def test_ladder_shard_alignment(n_dev):
     _check_cover(plan, 4096 * 3)
     for _, _, m in plan:
         assert m % n_dev == 0
+
+
+@pytest.mark.slow
+def test_sticky_open_cap_escalation_matches_unbatched():
+    """A sweep whose frames ALL overflow the open-ray compaction cap
+    escalates its own config for later chunks (sticky, one escalated
+    program) instead of serially retrying every chunk; results stay
+    identical to the per-batch analyze path (which retries each batch).
+
+    The octahedron leaves ~95% of spiral rays open, far above the 0.4
+    default cap fraction.
+    """
+    import numpy as np
+
+    from pywindow_tpu.ops.analysis import max_dim_host
+    from pywindow_tpu.parallel.batch import analyze_batch, sweep_uniform
+
+    elements = np.array(["C"] * 6)
+    base = 8.0 * np.array(
+        [
+            [1.0, 0, 0], [-1.0, 0, 0],
+            [0, 1.0, 0], [0, -1.0, 0],
+            [0, 0, 1.0], [0, 0, -1.0],
+        ]
+    )
+    # slight per-frame scale spread, same discrete sampling sizes
+    coords = np.stack([base * (1.0 + 0.001 * k) for k in range(8)])
+    maxd = np.array([max_dim_host(elements, c) for c in coords])
+
+    ref = analyze_batch(
+        [(elements, c) for c in coords],
+        reference_max_diameter=float(maxd.max()),
+    )
+
+    got: dict = {}
+    sweep_uniform(
+        elements, coords, maxd,
+        lambda part, res: got.update(zip(map(int, part), res)),
+        batch_size=2,
+        reference_max_diameter=float(maxd.max()),
+    )
+    assert sorted(got) == list(range(8))
+    for f, a in enumerate(ref):
+        b = got[f]
+        assert (
+            a["pore_diameter"]["diameter"]
+            == b["pore_diameter"]["diameter"]
+        )
+        wa, wb = a["windows"]["diameters"], b["windows"]["diameters"]
+        if wa is None:
+            assert wb is None
+        else:
+            np.testing.assert_array_equal(np.sort(wa), np.sort(wb))

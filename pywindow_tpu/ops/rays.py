@@ -300,12 +300,30 @@ def path_analysis(
     if use_pallas and n_rays < 128:
         # few-ray sweeps (the W-slot refinement re-sampling): a Pallas
         # program per frame is dispatch/loop-overhead bound under vmap
-        # (measured 41 ms vs ~6 ms at B=1440, W=8).  A step-chunked
-        # scan keeps the (.., P, chunk, N) working set small without
-        # ever materialising the full (.., P, L, N) block.
-        ok, posf, width = _path_small_p_chunked(
-            vectors, chunks, mol, max_steps
+        # (measured 41 ms vs ~6 ms at B=1440, W=8) — but a FRAMES-on-
+        # lanes kernel (128 frames per program, ray slots unrolled)
+        # uses the full VPU width; the custom_vmap wrapper collapses
+        # the molecule vmap into that one dispatch and falls back to
+        # the step-chunked scan for unbatched/small calls.
+        from pywindow_tpu.ops.pallas_kernels import (
+            _route_fine_to_pallas,
+            fine_path_sweep,
         )
+
+        if _route_fine_to_pallas():
+            okf, posf, cmin = fine_path_sweep(
+                vectors,
+                chunks.astype(vectors.dtype),
+                mol.coords,
+                mol.vdw,
+                max_steps,
+            )
+            ok = okf > 0.5
+            width = 2.0 * cmin
+        else:
+            ok, posf, width = _path_small_p_chunked(
+                vectors, chunks, mol, max_steps
+            )
     elif use_pallas:
         from pywindow_tpu.ops.pallas_kernels import path_sweep_pallas
 

@@ -156,6 +156,38 @@ def run_gate() -> dict:
         report["systems"][name] = {k: round(v, 6) for k, v in errs.items()}
         worst = max(worst, max(errs.values()))
         ok = ok and max(errs.values()) < tol
+    if backend == "tpu":
+        # batched leg: the production sweep kernels (frames-on-lanes
+        # fine resample, fused optimisers) only engage on BATCHED
+        # calls — the single-molecule loop above runs their unbatched
+        # fallbacks.  128 CC3 copies exercise the batch path at the
+        # frames-on-lanes routing threshold; every frame must hold the
+        # same contract.
+        from pywindow_tpu.parallel.batch import analyze_batch
+
+        els, co = load("PUDXES")
+        res = analyze_batch([(els, co)] * 128)
+        gold_w = np.sort(GOLD["PUDXES"]["windows"])
+        batch_err = 0.0
+        for r in res:
+            batch_err = max(
+                batch_err,
+                abs(
+                    r["pore_diameter"]["diameter"]
+                    - GOLD["PUDXES"]["pore"]
+                ),
+            )
+            wins = np.sort(r["windows"]["diameters"])
+            assert len(wins) == len(gold_w), ("batched PUDXES", wins)
+            batch_err = max(
+                batch_err, float(np.abs(wins - gold_w).max())
+            )
+        report["systems"]["PUDXES_batched_128"] = {
+            "worst": round(batch_err, 6)
+        }
+        worst = max(worst, batch_err)
+        ok = ok and batch_err < 0.01
+        report["pass"] = bool(ok)
     report["worst_abs_error"] = round(worst, 6)
     report["contract"] = (
         "< 0.01 A on every system"

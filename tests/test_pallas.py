@@ -5,6 +5,8 @@ measured bitwise-identical and ~2x faster than the fused broadcast at
 (Q=65536, N=4096) — see ops/pallas_kernels.py.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -142,4 +144,66 @@ def test_path_sweep_pallas_under_vmap():
     np.testing.assert_array_equal(np.asarray(ref.ok), np.asarray(got.ok))
     np.testing.assert_allclose(
         np.asarray(got.width), np.asarray(ref.width), atol=2e-5
+    )
+
+
+def test_fine_path_frames_on_lanes_matches_scan(monkeypatch):
+    """The frames-on-lanes W-slot kernel (interpret mode) matches the
+    step-chunked scan: ok/argmin-step exactly, min clearance to 1 ulp
+    (FMA contraction order, same class as the other routed kernels —
+    the TPU golden gate arbitrates behaviour)."""
+    import pywindow_tpu.ops.pallas_kernels as pk
+
+    rng = np.random.RandomState(3)
+    b, w, n, L = 16, 8, 40, 24
+    vectors = jnp.asarray(rng.randn(b, w, 3) * 5.0)
+    chunksf = jnp.asarray(
+        np.maximum(
+            np.floor(
+                np.linalg.norm(np.asarray(vectors), axis=-1) / 0.5
+            ),
+            1.0,
+        )
+    )
+    coords = jnp.asarray(rng.randn(b, n, 3) * 6.0)
+    vdw = jnp.asarray(1.0 + rng.rand(b, n))
+
+    ref = pk._fine_scan_flat(vectors, chunksf, coords, vdw, L)
+    monkeypatch.setattr(pk, "_FINE_BATCH_MIN", 8)
+    got = pk._fine_path_flat(vectors, chunksf, coords, vdw, L)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    np.testing.assert_allclose(
+        np.asarray(ref[2]), np.asarray(got[2]), rtol=0, atol=1e-12
+    )
+
+
+def test_fine_path_sweep_vmap_collapse(monkeypatch):
+    """fine_path_sweep under a molecule vmap equals per-molecule scan
+    results (the custom_vmap rule collapses to one flat dispatch)."""
+    import pywindow_tpu.ops.pallas_kernels as pk
+
+    rng = np.random.RandomState(7)
+    b, w, n, L = 12, 8, 30, 16
+    vectors = jnp.asarray(rng.randn(b, w, 3) * 4.0)
+    chunksf = jnp.asarray(
+        np.maximum(
+            np.floor(
+                np.linalg.norm(np.asarray(vectors), axis=-1) / 0.5
+            ),
+            1.0,
+        )
+    )
+    coords = jnp.asarray(rng.randn(b, n, 3) * 5.0)
+    vdw = jnp.asarray(1.0 + rng.rand(b, n))
+
+    monkeypatch.setattr(pk, "_FINE_BATCH_MIN", 4)
+    got = jax.vmap(
+        lambda v, c, x, r: pk.fine_path_sweep(v, c, x, r, L)
+    )(vectors, chunksf, coords, vdw)
+    ref = pk._fine_scan_flat(vectors, chunksf, coords, vdw, L)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    np.testing.assert_allclose(
+        np.asarray(ref[2]), np.asarray(got[2]), rtol=0, atol=1e-12
     )

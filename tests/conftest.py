@@ -56,7 +56,11 @@ def pytest_collection_finish(session) -> None:
         for item in session.items
         if item.get_closest_marker("slow") is not None
     }
-    if len(slow_files) >= 6:
+    # threshold sits between the biggest run_suite.py shard (10 slow
+    # files — which PASSES with the cache on, per the bisect's
+    # "second half" leg) and the full suite (15): only a genuine
+    # one-process full run drops the cache.
+    if len(slow_files) >= 13:
         jax.config.update("jax_enable_compilation_cache", False)
 
 

@@ -35,6 +35,16 @@ with the XLA fatal-signal banner.  The crash is probabilistic at this
 scale — the suite needs the full ~200-program load to hit it at all —
 so run each leg several times before concluding anything.  Keep
 ``--cache-dir`` OFF the repo tree so repo test runs are unaffected.
+
+Observed while running the warm leg (2026-08-21): XLA's
+``cpu_aot_loader`` warns that cached AOT results carry a
+``+prefer-no-gather`` target feature "not supported on the host" and
+"could lead to execution errors such as SIGILL".  That flag is an
+XLA-internal pseudo-feature (the real ISA feature lists match), so
+the warning is probably benign noise — but it demonstrates the cache
+deserialize path executing machine-feature validation at all, which
+is consistent with the crash living in (de)serialised-executable
+handling.  200/200 programs survived both legs on this host.
 """
 
 import argparse

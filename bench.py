@@ -49,7 +49,10 @@ HISTORY = REPO / "tests" / "data" / "HISTORY_singlemol_short"
 # at 4320 vs 3850 at 8640).
 KERNEL_BATCH = 8640
 BATCH = 4320
-STEADY_REPS = 3
+# 6 steady reps (~2.5 s extra): the tunnel's phase swings (identical
+# code measured 0.40 vs 0.96 s/rep an hour apart on 2026-08-21) make
+# small-N best-ofs a lottery for the kernel metric too.
+STEADY_REPS = 6
 REF_FRAMES = 20
 # 5 reps: single-shot e2e numbers on the stall-prone single vCPU
 # differed 40%+; more reps make the best-of less of a lottery
